@@ -1,0 +1,369 @@
+"""Device-tier field arithmetic: limb-decomposed Montgomery tensors.
+
+TPUs have no 64-bit integer multiply, so a field element is stored as
+``n_limbs`` base-2^16 limbs in uint32, **limb axis first**: an array of
+N elements has shape ``(L, N)`` with the element axis on TPU lanes.  All
+ops below are elementwise over the trailing axes and broadcast — a scalar
+is shape ``(L,)`` or ``(L, 1)``, a table is ``(L, N)``.
+
+Values are kept in Montgomery form (x*R mod p, R = 2^(16 L)) on device;
+the canonical <-> Montgomery conversion happens at the encode/decode
+boundary, which is also where bit-exactness with the Rust reference is
+defined (canonical BE bytes — evaluation_form.rs:97-103).
+
+Multiplication is a schoolbook limb convolution with lo/hi 16-bit
+splitting (every 16x16 product is exact in uint32) followed by a separate
+Montgomery reduction — ~3 L^2 uint32 multiplies per field-mult, all
+vectorized over the element axis so the VPU sees full 8x128 lanes.  The
+convolution is expressed as L slice-accumulate steps over the whole limb
+stack (not an unrolled i x j double loop) to keep the XLA graph small.
+Column accumulators stay < 2^22 << 2^32, so carries are propagated once
+per phase, not per term.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zk_tpu.fields.field import Field, LIMB_BITS, LIMB_MASK
+
+U32 = jnp.uint32
+_MASK = np.uint32(LIMB_MASK)
+_B = LIMB_BITS
+
+
+def _field_jit(fn):
+    """jit with the Field spec static (it is hashable); inlines under outer jit."""
+    return jax.jit(fn, static_argnums=0)
+
+
+# --------------------------------------------------------------------------
+# constant helpers (host-side numpy; become XLA constants when traced)
+# --------------------------------------------------------------------------
+
+
+def _int_to_limbs(value: int, n: int) -> np.ndarray:
+    return np.array([(value >> (_B * i)) & LIMB_MASK for i in range(n)], dtype=np.uint32)
+
+
+def p_limbs(field: Field) -> np.ndarray:
+    """Modulus as base-2^16 limb vector, shape (L,), uint32."""
+    return _int_to_limbs(field.p, field.n_limbs)
+
+
+def p_inv_neg_limbs(field: Field) -> np.ndarray:
+    return _int_to_limbs(field.p_inv_neg, field.n_limbs)
+
+
+def const_limbs(field: Field, value: int, mont: bool = True) -> np.ndarray:
+    """Host int -> (L,) uint32 limb vector (Montgomery form by default)."""
+    v = (value * field.R) % field.p if mont else value % field.p
+    return _int_to_limbs(v, field.n_limbs)
+
+
+def scalar(field: Field, value: int, mont: bool = True) -> jnp.ndarray:
+    """Host int -> device scalar of shape (L, 1) for broadcasting."""
+    return jnp.asarray(const_limbs(field, value, mont=mont)).reshape(field.n_limbs, 1)
+
+
+# --------------------------------------------------------------------------
+# encode / decode (host boundary)
+# --------------------------------------------------------------------------
+
+
+def encode_ints(field: Field, values, mont: bool = True) -> jnp.ndarray:
+    """List/array of Python ints -> device limb tensor (L, N)."""
+    vals = [((int(v) % field.p) * field.R) % field.p if mont else int(v) % field.p
+            for v in values]
+    out = np.empty((field.n_limbs, len(vals)), dtype=np.uint32)
+    for j, v in enumerate(vals):
+        for i in range(field.n_limbs):
+            out[i, j] = (v >> (_B * i)) & LIMB_MASK
+    return jnp.asarray(out)
+
+
+def decode_ints(field: Field, arr, mont: bool = True) -> list[int]:
+    """Device limb tensor (L, N) -> list of canonical Python ints."""
+    a = np.asarray(jax.device_get(arr), dtype=np.uint64)
+    a = a.reshape(field.n_limbs, -1)
+    rinv = pow(field.R, -1, field.p)
+    out = []
+    for j in range(a.shape[1]):
+        v = 0
+        for i in reversed(range(field.n_limbs)):
+            v = (v << _B) | int(a[i, j])
+        if mont:
+            v = (v * rinv) % field.p
+        out.append(v % field.p)
+    return out
+
+
+def decode_bytes_be(field: Field, arr, mont: bool = True) -> bytes:
+    """Device limb tensor (L, N) -> concatenated canonical BE bytes.
+
+    Matches MultiLinearPolynomial::to_bytes (evaluation_form.rs:97-103):
+    per element, n_bytes big-endian bytes, elements concatenated in order.
+    Vectorized in numpy (no per-element Python loop) for large tables.
+    """
+    if mont:
+        arr = from_mont(field, arr)
+    a = np.asarray(jax.device_get(arr))
+    L = field.n_limbs
+    a = a.reshape(L, -1)
+    n = a.shape[1]
+    # (N, L) uint16 limbs, little-endian limb order -> per-element BE bytes
+    limbs = a.T.astype(np.uint16)  # values < 2^16
+    be16 = limbs[:, ::-1].astype(">u2")  # most-significant limb first, BE within limb
+    raw = be16.tobytes()  # n * 2L bytes, element-major
+    pad = field.n_bytes - 2 * L
+    if pad == 0:
+        return raw
+    # left-pad each element to n_bytes (e.g. F17: 2 limb bytes -> 8 bytes)
+    buf = np.zeros((n, field.n_bytes), dtype=np.uint8)
+    buf[:, pad:] = np.frombuffer(raw, dtype=np.uint8).reshape(n, 2 * L)
+    return buf.tobytes()
+
+
+def encode_bytes_be(field: Field, data: bytes, mont: bool = True) -> jnp.ndarray:
+    """Concatenated canonical BE bytes -> device limb tensor (L, N)."""
+    nb = field.n_bytes
+    assert len(data) % nb == 0
+    n = len(data) // nb
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(n, nb)
+    L = field.n_limbs
+    pad = nb - 2 * L
+    be16 = raw[:, pad:].copy().view(">u2")  # (n, L) most-significant first
+    limbs = be16.astype(np.uint32)[:, ::-1].T  # (L, n) little-endian limbs
+    out = jnp.asarray(np.ascontiguousarray(limbs))
+    if mont:
+        out = to_mont(field, out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# core limb kernels (jnp, slice-accumulate over limbs, vectorized over lanes)
+# --------------------------------------------------------------------------
+
+
+def _carry_prop(cols):
+    """Normalize relaxed columns (stacked (C, *S), values < 2^32) to 16-bit
+    limbs; returns (limbs (C, *S), carry (*S))."""
+    C = cols.shape[0]
+    out = []
+    carry = None
+    for i in range(C):
+        v = cols[i] if carry is None else cols[i] + carry
+        out.append(v & _MASK)
+        carry = v >> _B
+    return jnp.stack(out), carry
+
+
+def _sub_limbs(a_stack, b_const):
+    """a - b per-limb with borrow chain; returns (diff (L,*S), borrow (*S)).
+
+    b_const is a host numpy (L,) vector.  a limbs must be proper (< 2^16).
+    """
+    L = a_stack.shape[0]
+    one = np.uint32(1 << _B)
+    out = []
+    borrow = None
+    for i in range(L):
+        t = a_stack[i] + (one - np.uint32(b_const[i]))
+        if borrow is not None:
+            t = t - borrow
+        out.append(t & _MASK)
+        borrow = np.uint32(1) - (t >> _B)
+    return jnp.stack(out), borrow
+
+
+def _cond_sub_p(field: Field, limbs, extra_top=None):
+    """If u >= p (u given as proper limbs + optional extra R-carry), subtract p."""
+    diff, borrow = _sub_limbs(limbs, p_limbs(field))
+    ge = borrow == 0
+    if extra_top is not None:
+        ge = jnp.logical_or(ge, extra_top > 0)
+    return jnp.where(ge, diff, limbs)
+
+
+@_field_jit
+def add_mod(field: Field, a, b):
+    """Elementwise (a + b) mod p over limb tensors (inputs < p)."""
+    limbs, carry = _carry_prop(a + b)
+    return _cond_sub_p(field, limbs, extra_top=carry)
+
+
+@_field_jit
+def sub_mod(field: Field, a, b):
+    """Elementwise (a - b) mod p: a + (p - b), then one conditional subtract.
+
+    p - b is exact (b < p so the borrow chain cannot underflow the top),
+    lands in (0, p], and a + (p - b) < 2p, which the cond-subtract handles.
+    """
+    pl = p_limbs(field)
+    one = np.uint32(1 << _B)
+    out = []
+    borrow = None
+    for i in range(field.n_limbs):
+        t = (np.uint32(pl[i]) + one) - b[i]
+        if borrow is not None:
+            t = t - borrow
+        out.append(t & _MASK)
+        borrow = np.uint32(1) - (t >> _B)
+    p_minus_b = jnp.stack(out)
+    limbs, carry = _carry_prop(a + p_minus_b)
+    return _cond_sub_p(field, limbs, extra_top=carry)
+
+
+@_field_jit
+def neg_mod(field: Field, a):
+    zero = jnp.zeros_like(a)
+    return sub_mod(field, zero, a)
+
+
+def _conv_acc(x, y, n_cols: int):
+    """Accumulate the limb convolution of x (Lx, *S) with y ((Ly,) const or
+    (Ly, *S) tensor) into n_cols relaxed columns via slice-adds.
+
+    Column k accumulates lo(x_i * y_j) for i+j=k and hi for i+j=k-1; every
+    16x16 product is exact in uint32 and every column stays < 2L * 2^16.
+    Contributions at column >= n_cols are dropped (used for the mod-R
+    low-half product in Montgomery phase 2).
+    """
+    Lx = x.shape[0]
+    Ly = y.shape[0]
+    shape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:] if y.ndim > 1 else ())
+    cols = jnp.zeros((n_cols,) + shape, U32)
+    for j in range(Ly):
+        if j >= n_cols:
+            break
+        prod = x * y[j]  # (Lx, *S), each product exact in uint32
+        lo = prod & _MASK
+        hi = prod >> _B
+        nlo = min(Lx, n_cols - j)
+        cols = cols.at[j : j + nlo].add(lo[:nlo] if nlo < Lx else lo)
+        nhi = min(Lx, n_cols - j - 1)
+        if nhi > 0:
+            cols = cols.at[j + 1 : j + 1 + nhi].add(hi[:nhi] if nhi < Lx else hi)
+    return cols
+
+
+@_field_jit
+def mont_mul(field: Field, a, b):
+    """Elementwise Montgomery product: (a * b * R^-1) mod p.
+
+    Phase 1: full 2L-column schoolbook product (slice-accumulate conv).
+    Phase 2: m = (T mod R) * p' mod R  (low-half product only).
+    Phase 3: u = (T + m * p) / R, then one conditional subtract (u < 2p).
+    """
+    L = field.n_limbs
+    cols = _conv_acc(a, b, 2 * L + 1)
+
+    # normalize low L columns: T mod R as proper limbs
+    t_lo, carry = _carry_prop(cols[:L])
+    hi_cols = cols[L:].at[0].add(carry)
+
+    # phase 2: m = t_lo * p' mod R
+    ppl = jnp.asarray(p_inv_neg_limbs(field))
+    mcols = _conv_acc(t_lo, ppl, L)
+    m, _ = _carry_prop(mcols)  # drop carry: mod R
+
+    # phase 3: m * p; low L columns of (t_lo + m*p) are ≡ 0 mod R — only
+    # their carry into column L matters.
+    mp = _conv_acc(m, jnp.asarray(p_limbs(field)), 2 * L + 1)
+    low, low_carry = _carry_prop(mp[:L] + t_lo)
+    u_cols = hi_cols + mp[L:]
+    u_cols = u_cols.at[0].add(low_carry)
+    u, top = _carry_prop(u_cols)  # (L+1, *S); top must be 0
+    return _cond_sub_p(field, u[:L], extra_top=u[L])
+
+
+@_field_jit
+def mont_sqr(field: Field, a):
+    return mont_mul(field, a, a)
+
+
+def mont_from_canonical(field: Field, a):
+    """Canonical limbs -> Montgomery form (multiply by R^2)."""
+    r2 = scalar(field, (field.R * field.R) % field.p, mont=False)
+    return mont_mul(field, a, r2.reshape((field.n_limbs,) + (1,) * (a.ndim - 1)))
+
+
+def to_mont(field: Field, a):
+    return mont_from_canonical(field, a)
+
+
+def from_mont(field: Field, a):
+    """Montgomery form -> canonical limbs (multiply by 1)."""
+    one = scalar(field, 1, mont=False)
+    return mont_mul(field, a, one.reshape((field.n_limbs,) + (1,) * (a.ndim - 1)))
+
+
+@_field_jit
+def lerp(field: Field, left, right, r):
+    """left - r * (left - right): the sumcheck fold step
+    (evaluation_form.rs:68).  `r` broadcasts (shape (L,) or (L, 1))."""
+    diff = sub_mod(field, left, right)
+    return sub_mod(field, left, mont_mul(field, diff, r))
+
+
+def _mont_reduce(field: Field, t):
+    """Montgomery-reduce a proper (L+1)-limb value T (limbs < 2^16):
+    returns T * R^-1 mod p as L limbs.  Requires T < R * p.
+
+    Used to renormalize relaxed group sums: for T < G * p with G <= R the
+    output u = (T + m*p)/R < T/R + p < 2p, so one conditional subtract
+    suffices (same argument as mont_mul phase 3).
+    """
+    L = field.n_limbs
+    ppl = jnp.asarray(p_inv_neg_limbs(field))
+    m, _ = _carry_prop(_conv_acc(t[:L], ppl, L))
+    mp = _conv_acc(m, jnp.asarray(p_limbs(field)), 2 * L + 1)
+    _, low_carry = _carry_prop(mp[:L] + t[:L])  # low L limbs ≡ 0 mod R
+    u_cols = mp[L:].at[0].add(t[L] + low_carry)
+    u, _top = _carry_prop(u_cols)  # (L+1, *S); _top is 0 for T < R*p
+    return _cond_sub_p(field, u[:L], extra_top=u[L])
+
+
+# raw uint32 column sums of G limbs stay < G * 2^16; G = 256 keeps the
+# relaxed columns < 2^24 and the renorm bound T < G * p <= R * p for every
+# supported field (G <= R since L >= 1).
+_SUM_GROUP = 256
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def sum_mod(field: Field, a, axis: int = -1):
+    """Modular sum along an element axis.
+
+    Groups of 256 elements are summed as raw uint32 columns (no per-add
+    modular reduction), then renormalized with one Montgomery reduction +
+    one Montgomery multiply (back into Montgomery form) per group — ~2
+    field-mults of work per 256 summands and a log_256-depth graph, vs. a
+    log_2-deep add_mod tree.
+    """
+    axis = axis % a.ndim
+    if axis != a.ndim - 1:
+        a = jnp.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    m = 1 << max(0, (n - 1).bit_length())
+    if m != n:
+        pad = [(0, 0)] * a.ndim
+        pad[-1] = (0, m - n)
+        a = jnp.pad(a, pad)
+        n = m
+    r2 = scalar(field, (field.R * field.R) % field.p, mont=False)
+    while n > 1:
+        g = min(n, _SUM_GROUP)
+        shape = a.shape[:-1] + (n // g, g)
+        raw = jnp.sum(a.reshape(shape), axis=-1, dtype=U32)  # relaxed cols < g*2^16
+        limbs, carry = _carry_prop(raw)
+        t = jnp.concatenate([limbs, carry[None]], axis=0)  # (L+1, ..., n/g)
+        canon = _mont_reduce(field, t)  # sum * R^-1... i.e. canonical of the
+        # Montgomery-represented sum; multiply by R^2 to return to Montgomery
+        a = mont_mul(field, canon, r2.reshape((field.n_limbs,) + (1,) * (canon.ndim - 1)))
+        n = n // g
+    return a[..., 0]
