@@ -1,0 +1,84 @@
+"""Univariate polynomial tests ported from univariate_poly.rs:256-440 (F17)."""
+
+import pytest
+
+from zk_tpu.fields import F17
+from zk_tpu.poly import UnivariatePolynomial as UP
+
+
+def poly(coeffs):
+    return UP(F17, coeffs)
+
+
+def test_evaluation():
+    # p = 2x, p(4) = 8
+    assert poly([0, 2]).evaluate(4) == 8
+
+
+def test_polynomial_addition():
+    zero = poly([])
+    assert zero + zero == zero
+    assert zero + poly([0, 2]) == poly([0, 2])
+    assert poly([0, 2]) + zero == poly([0, 2])
+
+    # p = 2x^2+3x+4, q = 4x^3+4x+3 -> p+q = 4x^3+2x^2+7x+7
+    p = poly([4, 3, 2])
+    q = poly([3, 4, 0, 4])
+    assert p + q == q + p
+    assert p + q == poly([7, 7, 2, 4])
+
+
+def test_polynomial_multiplication():
+    zero = poly([])
+    assert zero * poly([0, 2]) == poly([])
+    assert poly([0, 2]) * zero == poly([])
+
+    # pq mod 17 = 8x^5 + 12x^4 + 7x^3 + x^2 + 8x + 12
+    p = poly([4, 3, 2])
+    q = poly([3, 4, 0, 4])
+    assert p * q == q * p
+    assert p * q == poly([12, 25, 18, 24, 12, 8])
+
+
+def test_polynomial_interpolation():
+    # p = 2x
+    p = UP.interpolate_xy(F17, [0, 1], [0, 2])
+    assert p == poly([0, 2])
+
+    # p = 2x^2 + 5
+    p = UP.interpolate_xy(F17, [0, 1, 2], [5, 7, 13])
+    assert p == poly([5, 0, 2])
+
+    # p = 8x^5 + 12x^4 + 7x^3 + x^2 + 8x + 12
+    p = UP.interpolate_xy(F17, [0, 1, 3, 4, 5, 8], [12, 48, 3150, 11772, 33452, 315020])
+    assert p == poly([12, 25, 18, 24, 12, 8])
+
+    # p = 5x^3 - 12x
+    p = UP.interpolate_xy(F17, [5, 7, 9, 1], [565, 1631, 3537, -7])
+    assert p == poly([0, -12, 0, 5])
+
+
+def test_interpolate_over_integers():
+    # verifier path: interpolate over [0, 1, 2, ...] (univariate_poly.rs:43-49)
+    ys = [5, 7, 13]
+    p = UP.interpolate(F17, ys)
+    for x, y in enumerate(ys):
+        assert p.evaluate(x) == y % 17
+
+
+def test_identity_polys():
+    p = poly([0, 2])
+    assert p + UP.additive_identity(F17) == p
+    assert p * UP.multiplicative_identity(F17) == p
+
+
+def test_degree_and_zero():
+    assert poly([]).is_zero()
+    assert poly([]).degree() == 0
+    assert poly([1, 2, 3]).degree() == 2
+
+
+def test_to_bytes():
+    p = poly([1, 2])
+    assert p.to_bytes() == F17.to_bytes_be(1) + F17.to_bytes_be(2)
+    assert len(p.to_bytes()) == 16
