@@ -1,0 +1,226 @@
+"""Non-interactive sumcheck via Fiat-Shamir — prover and verifier.
+
+Mirrors sumcheck/src/{lib,prover,verifier}.rs with the round math fused
+into jitted device kernels:
+
+Per round the reference does D+1 speculative folds + prod_reduce + sum,
+then a real fold at the sampled challenge (prover.rs:44-68).  Here a
+single jitted graph per table size computes all D+1 round-poly values
+(the i=0/1 points are the free half-table sums — no multiplies, the
+structural version of the reference's 0/1 fast path at
+evaluation_form.rs:60-63), and a second jitted graph folds every factor
+table at the challenge.  The Fiat-Shamir transcript runs on host between
+rounds (the device->host sync per round is inherent to Fiat-Shamir).
+
+Error semantics match the reference exactly: a failed round check is an
+error (verifier.rs:61-66 -> SumcheckError), a failed final oracle check
+returns False (verifier.rs:28-32).
+
+Sharded multi-chip proving lives in zk_tpu.parallel; it reuses these
+transcript/proof types and replaces the round kernels with shard_map
+versions whose element sums end in a psum.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from zk_tpu.fields import device as dev
+from zk_tpu.fields.field import Field
+from zk_tpu.poly.product import ProductPoly, SumOfProducts
+from zk_tpu.poly.univariate import UnivariatePolynomial
+from zk_tpu.transcript import Transcript
+
+
+class SumcheckError(Exception):
+    """Raised where the reference returns Err(&'static str)."""
+
+
+@dataclass
+class SumcheckProof:
+    """sumcheck/src/lib.rs:8-11."""
+
+    sum: int
+    round_polys: list[list[int]]
+
+
+@dataclass
+class SubClaim:
+    """sumcheck/src/lib.rs:13-20: all info for the deferred oracle check
+    sum == initial_poly(challenges)."""
+
+    sum: int
+    challenges: list[int]
+
+
+# --------------------------------------------------------------------------
+# fused device round kernels
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _round_sums_kernel(field: Field, degree: int, tables):
+    """Round-poly evaluations at 0..=degree in one fused graph.
+
+    tables: tuple (per product term) of tuples (per factor) of (L, N)
+    Montgomery limb arrays.  Returns (degree+1, L) canonical... Montgomery
+    sums.  Point i=0 takes left halves, i=1 right halves (no multiplies);
+    i>=2 lerps with the constant scalar i (prover.rs:49-56 semantics).
+    """
+    sums = []
+    for i in range(degree + 1):
+        total = None
+        if i >= 2:
+            r_i = jnp.asarray(dev.const_limbs(field, i)).reshape(field.n_limbs, 1)
+        for term in tables:
+            prod = None
+            for fac in term:
+                n = fac.shape[-1]
+                left, right = fac[:, : n // 2], fac[:, n // 2 :]
+                if i == 0:
+                    ev = left
+                elif i == 1:
+                    ev = right
+                else:
+                    ev = dev.lerp(field, left, right, r_i)
+                prod = ev if prod is None else dev.mont_mul(field, prod, ev)
+            total = prod if total is None else dev.add_mod(field, total, prod)
+        sums.append(dev.sum_mod(field, total, axis=-1))
+    return jnp.stack(sums)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_kernel(field: Field, tables, r):
+    """Fold every factor table at challenge r (the real fold of
+    prover.rs:64): left - r*(left-right) on the MSB-variable halves."""
+    out = []
+    for term in tables:
+        new_term = []
+        for fac in term:
+            n = fac.shape[-1]
+            new_term.append(dev.lerp(field, fac[:, : n // 2], fac[:, n // 2 :], r))
+        out.append(tuple(new_term))
+    return tuple(out)
+
+
+def _poly_to_tables(poly) -> tuple:
+    """ProductPoly / SumOfProducts -> tuple-of-tuples of (L, N) tables."""
+    if isinstance(poly, SumOfProducts):
+        return tuple(tuple(p.data for p in t.polynomials) for t in poly.terms)
+    return (tuple(p.data for p in poly.polynomials),)
+
+
+# --------------------------------------------------------------------------
+# prover
+# --------------------------------------------------------------------------
+
+
+class SumcheckProver:
+    """sumcheck/src/prover.rs:9-69.  max_var_degree plays the role of the
+    reference's MAX_VAR_DEGREE const generic (number of round-poly sample
+    points minus one); defaults to the polynomial's factor-count bound."""
+
+    @staticmethod
+    def prove(poly, sum: int, max_var_degree: int | None = None) -> SumcheckProof:
+        """Prove, binding the initial poly bytes into the transcript
+        (prover.rs:15-20)."""
+        transcript = Transcript()
+        transcript.append(poly.to_bytes())
+        proof, _ = SumcheckProver._prove_internal(poly, sum, transcript, max_var_degree)
+        return proof
+
+    @staticmethod
+    def prove_partial(
+        poly, sum: int, max_var_degree: int | None = None
+    ) -> tuple[SumcheckProof, list[int]]:
+        """Prove without binding the initial poly — the GKR hook
+        (prover.rs:24-30); returns (proof, challenges)."""
+        transcript = Transcript()
+        return SumcheckProver._prove_internal(poly, sum, transcript, max_var_degree)
+
+    @staticmethod
+    def _prove_internal(
+        poly, sum: int, transcript: Transcript, max_var_degree: int | None = None
+    ) -> tuple[SumcheckProof, list[int]]:
+        """prover.rs:33-69."""
+        field: Field = poly.field
+        degree = max_var_degree if max_var_degree is not None else poly.max_degree
+        transcript.append(field.to_bytes_be(sum))
+
+        tables = _poly_to_tables(poly)
+        round_polys: list[list[int]] = []
+        challenges: list[int] = []
+
+        for _ in range(poly.n_vars):
+            sums = _round_sums_kernel(field, degree, tables)  # (D+1, L)
+            round_poly = dev.decode_ints(field, sums.T)  # limb-first for decode
+            transcript.append(field.elements_to_bytes(round_poly))
+
+            challenge = transcript.sample_field_element(field)
+            r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(field.n_limbs, 1)
+            tables = _fold_kernel(field, tables, r)
+
+            round_polys.append(round_poly)
+            challenges.append(challenge)
+
+        return SumcheckProof(sum=sum, round_polys=round_polys), challenges
+
+
+# --------------------------------------------------------------------------
+# verifier
+# --------------------------------------------------------------------------
+
+
+class SumcheckVerifier:
+    """sumcheck/src/verifier.rs:9-79.  Interpolation and round checks are
+    exact host-int math (tiny, O(n d^3))."""
+
+    @staticmethod
+    def verify(poly, proof: SumcheckProof) -> bool:
+        """Full verification incl. the final oracle check
+        (verifier.rs:15-33).  Raises SumcheckError on a failed round
+        check; returns False on a failed oracle check."""
+        if len(proof.round_polys) != poly.n_vars:
+            raise SumcheckError(
+                "invalid proof: require 1 round poly for each variable in poly"
+            )
+        transcript = Transcript()
+        transcript.append(poly.to_bytes())
+        subclaim = SumcheckVerifier._verify_internal(poly.field, proof, transcript)
+        initial_poly_eval = poly.evaluate(subclaim.challenges)
+        return initial_poly_eval == subclaim.sum
+
+    @staticmethod
+    def verify_partial(field: Field, proof: SumcheckProof) -> SubClaim:
+        """All checks except the oracle check; returns the SubClaim
+        (verifier.rs:38-41)."""
+        transcript = Transcript()
+        return SumcheckVerifier._verify_internal(field, proof, transcript)
+
+    @staticmethod
+    def _verify_internal(
+        field: Field, proof: SumcheckProof, transcript: Transcript
+    ) -> SubClaim:
+        """verifier.rs:44-78."""
+        challenges: list[int] = []
+        transcript.append(field.to_bytes_be(proof.sum))
+        claimed_sum = proof.sum % field.p
+
+        for round_poly in proof.round_polys:
+            transcript.append(field.elements_to_bytes(round_poly))
+            uni = UnivariatePolynomial.interpolate(field, round_poly)
+            p_0 = uni.evaluate(0)
+            p_1 = uni.evaluate(1)
+            if claimed_sum != field.add(p_0, p_1):
+                raise SumcheckError(
+                    "verifier check failed: claimed_sum != p(0) + p(1)"
+                )
+            challenge = transcript.sample_field_element(field)
+            claimed_sum = uni.evaluate(challenge)
+            challenges.append(challenge)
+
+        return SubClaim(sum=claimed_sum, challenges=challenges)
