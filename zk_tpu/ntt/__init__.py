@@ -1,0 +1,154 @@
+"""Radix-2 NTT / iNTT over FFT-friendly prime fields (device tier).
+
+Black-box spec: fft/src/lib.rs — natural order in, natural order out,
+omega = F::get_root_of_unity(n) (arkworks generator^((p-1)/2^s) chain),
+ifft = same transform with omega^-1 followed by a global n^-1 scale
+(fft/src/lib.rs:4-19).  The output is the DFT matrix applied to the
+input, so the algorithm is free: instead of the reference's
+allocation-heavy recursion with per-twiddle pow (fft/src/lib.rs:21-46),
+we run an iterative decimation-in-time ladder on the (L, n) limb tensor —
+one bit-reversal gather, then log2(n) stages of contiguous-slice
+butterflies with precomputed per-stage Montgomery twiddle tables.  Each
+stage is one mont_mul + add_mod + sub_mod over n/2 lanes; XLA fuses the
+whole ladder into a single program.
+
+Twiddle tables and the bit-reversal permutation are computed host-side
+once per (field, n) and cached; they enter the graph as device arguments
+(not constants) so the compiled kernel is reused across calls.
+
+The multi-chip Bailey 4-step factorization (local NTT -> all-to-all
+transpose -> twiddle -> local NTT) lives in zk_tpu.parallel.ntt.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zk_tpu.fields import device as dev
+from zk_tpu.fields.field import Field, LIMB_BITS, LIMB_MASK
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    perm = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(logn):
+        rev |= ((perm >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+def _powers_mont(field: Field, base: int, count: int) -> np.ndarray:
+    """[base^0, ..., base^(count-1)] as (L, count) Montgomery limbs."""
+    out = np.empty((field.n_limbs, count), dtype=np.uint32)
+    cur = 1
+    for j in range(count):
+        v = (cur * field.R) % field.p
+        for i in range(field.n_limbs):
+            out[i, j] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+        cur = (cur * base) % field.p
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _plan(field: Field, n: int, inverse: bool):
+    """(perm, per-stage twiddle arrays, optional n^-1 scale) for size n."""
+    omega = field.get_root_of_unity(n)
+    if inverse:
+        omega = field.inv(omega)
+    logn = n.bit_length() - 1
+    stages = []
+    for s in range(1, logn + 1):
+        m = 1 << s
+        w_m = pow(omega, n // m, field.p)
+        stages.append(jnp.asarray(_powers_mont(field, w_m, m // 2)))
+    perm = jnp.asarray(_bit_reverse_perm(n))
+    scale = None
+    if inverse:
+        scale = jnp.asarray(dev.const_limbs(field, field.inv(n))).reshape(
+            field.n_limbs, 1
+        )
+    return perm, tuple(stages), scale
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _ntt_ladder(field: Field, data, perm, stages, scale):
+    """data: (L, n) Montgomery limbs -> DFT, natural order in/out."""
+    L, n = data.shape
+    x = jnp.take(data, perm, axis=1)
+    for s, w in enumerate(stages, start=1):
+        m = 1 << s
+        xb = x.reshape(L, n // m, m)
+        e = xb[:, :, : m // 2]
+        o = xb[:, :, m // 2 :]
+        t = dev.mont_mul(field, o, w[:, None, :])
+        x = jnp.concatenate(
+            [dev.add_mod(field, e, t), dev.sub_mod(field, e, t)], axis=-1
+        ).reshape(L, n)
+    if scale is not None:
+        x = dev.mont_mul(field, x, scale)
+    return x
+
+
+def ntt_device(field: Field, data: jnp.ndarray) -> jnp.ndarray:
+    """Forward NTT on a (L, n) Montgomery limb tensor."""
+    n = data.shape[-1]
+    if n & (n - 1):
+        raise ValueError("values must be a power of 2")
+    if n == 1:
+        return data
+    perm, stages, _ = _plan(field, n, inverse=False)
+    return _ntt_ladder(field, data, perm, stages, None)
+
+
+def intt_device(field: Field, data: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT on a (L, n) Montgomery limb tensor (fft/src/lib.rs:11-19)."""
+    n = data.shape[-1]
+    if n & (n - 1):
+        raise ValueError("values must be a power of 2")
+    if n == 1:
+        return data
+    perm, stages, scale = _plan(field, n, inverse=True)
+    return _ntt_ladder(field, data, perm, stages, scale)
+
+
+def ntt(field: Field, coefficients: list[int]) -> list[int]:
+    """Host-convenience forward NTT (fft/src/lib.rs:4-8 `fft`)."""
+    if len(coefficients) == 1:
+        return [c % field.p for c in coefficients]
+    return dev.decode_ints(field, ntt_device(field, dev.encode_ints(field, coefficients)))
+
+
+def intt(field: Field, evaluations: list[int]) -> list[int]:
+    """Host-convenience inverse NTT (fft/src/lib.rs:11-19 `ifft`)."""
+    if len(evaluations) == 1:
+        return [c % field.p for c in evaluations]
+    return dev.decode_ints(field, intt_device(field, dev.encode_ints(field, evaluations)))
+
+
+# reference-parity aliases (fft/src/lib.rs naming)
+fft = ntt
+ifft = intt
+
+
+def host_dft(field: Field, values: list[int], inverse: bool = False) -> list[int]:
+    """O(n^2) reference DFT in exact host ints — the differential oracle
+    for kernel tests (matches fft_internal's output by the DFT definition)."""
+    n = len(values)
+    omega = field.get_root_of_unity(n)
+    if inverse:
+        omega = field.inv(omega)
+    out = []
+    for i in range(n):
+        acc = 0
+        for j, v in enumerate(values):
+            acc = (acc + v * pow(omega, i * j, field.p)) % field.p
+        out.append(acc)
+    if inverse:
+        n_inv = field.inv(n)
+        out = [(v * n_inv) % field.p for v in out]
+    return out
