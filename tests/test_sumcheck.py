@@ -122,3 +122,29 @@ def test_wrong_sum_partial_fails():
     proof, _ = SumcheckProver.prove_partial(prod_poly, 11, max_var_degree=1)
     with pytest.raises(SumcheckError):
         SumcheckVerifier.verify_partial(FR, proof)
+
+
+def test_tier_equivalence_host_vs_jnp():
+    # host-int tail tier and fused jnp tier must emit identical proofs
+    prod_poly = ProductPoly([p_2ab_3bc()])
+    proof_host, ch_host = SumcheckProver.prove_partial(prod_poly, 10, max_var_degree=1)
+    proof_jnp, ch_jnp = SumcheckProver.prove_partial(
+        prod_poly, 10, max_var_degree=1, tail_size=0
+    )
+    assert proof_host.round_polys == proof_jnp.round_polys
+    assert ch_host == ch_jnp
+
+
+def test_tier_equivalence_sum_of_products():
+    a = MLE.new(F17, 3, [2, 8, 10, 14, 1, 5, 9, 11])
+    b = MLE.new(F17, 3, [2, 8, 10, 22, 4, 0, 3, 7])
+    c = MLE.new(F17, 3, [1, 2, 3, 4, 5, 6, 7, 8])
+    sp = SumOfProducts([ProductPoly([a, b]), ProductPoly([c])])
+    total = 0
+    for x, y, z in zip(a.evaluation_ints(), b.evaluation_ints(), c.evaluation_ints()):
+        total = F17.add(total, F17.add(F17.mul(x, y), z))
+    ph, _ = SumcheckProver.prove_partial(sp, total, max_var_degree=2)
+    pj, _ = SumcheckProver.prove_partial(sp, total, max_var_degree=2, tail_size=0)
+    assert ph.round_polys == pj.round_polys
+    subclaim = SumcheckVerifier.verify_partial(F17, ph)
+    assert sp.evaluate(subclaim.challenges) == subclaim.sum

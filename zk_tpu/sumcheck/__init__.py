@@ -122,50 +122,122 @@ def _poly_to_tables(poly) -> tuple:
 class SumcheckProver:
     """sumcheck/src/prover.rs:9-69.  max_var_degree plays the role of the
     reference's MAX_VAR_DEGREE const generic (number of round-poly sample
-    points minus one); defaults to the polynomial's factor-count bound."""
+    points minus one); defaults to the polynomial's factor-count bound.
+
+    Execution tiers per round (zk_tpu.sumcheck.kernels): fused Pallas
+    kernels on TPU for large tables, fused jnp graphs as fallback, exact
+    host ints for the tail (tables <= tail_size) — same transcript bytes
+    from every tier.
+    """
 
     @staticmethod
-    def prove(poly, sum: int, max_var_degree: int | None = None) -> SumcheckProof:
+    def prove(
+        poly, sum: int, max_var_degree: int | None = None, tail_size: int | None = None
+    ) -> SumcheckProof:
         """Prove, binding the initial poly bytes into the transcript
         (prover.rs:15-20)."""
         transcript = Transcript()
         transcript.append(poly.to_bytes())
-        proof, _ = SumcheckProver._prove_internal(poly, sum, transcript, max_var_degree)
+        proof, _ = SumcheckProver._prove_internal(
+            poly, sum, transcript, max_var_degree, tail_size
+        )
         return proof
 
     @staticmethod
     def prove_partial(
-        poly, sum: int, max_var_degree: int | None = None
+        poly, sum: int, max_var_degree: int | None = None, tail_size: int | None = None
     ) -> tuple[SumcheckProof, list[int]]:
         """Prove without binding the initial poly — the GKR hook
         (prover.rs:24-30); returns (proof, challenges)."""
         transcript = Transcript()
-        return SumcheckProver._prove_internal(poly, sum, transcript, max_var_degree)
+        return SumcheckProver._prove_internal(
+            poly, sum, transcript, max_var_degree, tail_size
+        )
 
     @staticmethod
     def _prove_internal(
-        poly, sum: int, transcript: Transcript, max_var_degree: int | None = None
+        poly,
+        sum: int,
+        transcript: Transcript,
+        max_var_degree: int | None = None,
+        tail_size: int | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
-        """prover.rs:33-69."""
+        """prover.rs:33-69 round loop across the three execution tiers."""
+        from zk_tpu.sumcheck import kernels as K
+        from zk_tpu.fields.pallas_kernels import on_tpu
+
         field: Field = poly.field
         degree = max_var_degree if max_var_degree is not None else poly.max_degree
+        tail = K.TAIL_SIZE if tail_size is None else tail_size
         transcript.append(field.to_bytes_be(sum))
 
-        tables = _poly_to_tables(poly)
         round_polys: list[list[int]] = []
         challenges: list[int] = []
+        n_vars = poly.n_vars
+        size = 1 << n_vars
+        use_pallas = on_tpu()
 
-        for _ in range(poly.n_vars):
-            sums = _round_sums_kernel(field, degree, tables)  # (D+1, L)
-            round_poly = dev.decode_ints(field, sums.T)  # limb-first for decode
+        # device representation: per-term (k, L, size) stacks (pallas) or
+        # tuple-of-tuples (jnp)
+        terms = _poly_to_tables(poly)
+        if use_pallas:
+            stacks = [jnp.stack(term) for term in terms]
+        host_tables = None
+
+        for _ in range(n_vars):
+            if host_tables is None and size <= tail:
+                host_tables = K.HostTables(
+                    field,
+                    [
+                        [dev.decode_ints(field, fac) for fac in term]
+                        for term in terms
+                    ]
+                    if not use_pallas
+                    else [
+                        [
+                            dev.decode_ints(field, stack[t_i])
+                            for t_i in range(stack.shape[0])
+                        ]
+                        for stack in stacks
+                    ],
+                )
+
+            if host_tables is not None:
+                round_poly = host_tables.round_sums(degree)
+            elif use_pallas:
+                totals = [0] * (degree + 1)
+                for stack in stacks:
+                    k = stack.shape[0]
+                    part = K.decode_relaxed_sums(
+                        field, K._round_sums_pallas(field, degree, k, size, stack)
+                    )
+                    totals = [field.add(a, b) for a, b in zip(totals, part)]
+                round_poly = totals
+            else:
+                sums = _round_sums_kernel(field, degree, terms)  # (D+1, L)
+                round_poly = dev.decode_ints(field, sums.T)
+
             transcript.append(field.elements_to_bytes(round_poly))
-
             challenge = transcript.sample_field_element(field)
-            r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(field.n_limbs, 1)
-            tables = _fold_kernel(field, tables, r)
+
+            if host_tables is not None:
+                host_tables = host_tables.fold(challenge)
+            elif use_pallas:
+                r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(
+                    field.n_limbs, 1
+                )
+                stacks = [
+                    K._fold_pallas(field, s.shape[0], size, s, r) for s in stacks
+                ]
+            else:
+                r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(
+                    field.n_limbs, 1
+                )
+                terms = _fold_kernel(field, terms, r)
 
             round_polys.append(round_poly)
             challenges.append(challenge)
+            size //= 2
 
         return SumcheckProof(sum=sum, round_polys=round_polys), challenges
 

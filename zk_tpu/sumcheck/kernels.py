@@ -1,0 +1,209 @@
+"""Fused Pallas round kernels + host-int tail for the sumcheck prover.
+
+Three execution tiers, picked per round by table size and backend:
+
+  * pallas  — large tables on TPU: one kernel computes all D+1 round-poly
+    sums (streaming left/right half-tiles, products and lane reductions
+    on registers, relaxed uint32 limb accumulation across grid steps);
+    a second kernel folds every factor at the challenge.
+  * jnp     — CPU test mesh / fallback: the fused jnp graphs from
+    zk_tpu.sumcheck (same math, XLA-fused).
+  * host    — tail rounds on tiny tables (< TAIL_SIZE): exact Python
+    ints.  Avoids per-size kernel compiles and per-round dispatch
+    latency for the cheap end of the fold (SURVEY.md §7 risk 4).
+
+Cross-grid sum accumulation stays exact without per-block modular adds:
+each grid step contributes a canonical (< p) Montgomery-reduced block
+sum whose 16-bit limbs are raw-accumulated in uint32 — safe for up to
+2^16 grid steps (tables to 2^27 per chip); the host performs the final
+carry + mod p on decode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zk_tpu.fields import device as dev
+from zk_tpu.fields import limb_math as lm
+from zk_tpu.fields.field import Field, LIMB_BITS
+from zk_tpu.fields.pallas_kernels import on_tpu
+
+TAIL_SIZE = 2048  # tables at/below this size finish on host ints
+BLOCK = 1024
+MAX_GRID = 1 << 16  # relaxed-accumulation overflow guard
+
+
+# --------------------------------------------------------------------------
+# pallas kernels
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _round_sums_pallas(field: Field, degree: int, k: int, n: int, tables):
+    """All D+1 round-poly sums for a (k, L, n) factor stack.
+
+    Returns (degree+1, L) relaxed uint32 limb accumulators (host finishes
+    the carry/mod).  Point 0/1 take the left/right half products; points
+    >= 2 lerp with the constant scalar i (prover.rs:49-56 semantics).
+    """
+    L = field.n_limbs
+    block = min(BLOCK, n // 2)
+    grid = (n // 2) // block
+    assert grid <= MAX_GRID
+
+    consts = [
+        lm.np_limbs((i * field.R) % field.p, L) for i in range(degree + 1)
+    ]
+
+    def kernel(left_ref, right_ref, o_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for point in range(degree + 1):
+                for i in range(L):
+                    o_ref[point, i] = jnp.uint32(0)
+
+        lefts = [[left_ref[t, i] for i in range(L)] for t in range(k)]
+        rights = [[right_ref[t, i] for i in range(L)] for t in range(k)]
+        for point in range(degree + 1):
+            prod = None
+            for t in range(k):
+                if point == 0:
+                    ev = lefts[t]
+                elif point == 1:
+                    ev = rights[t]
+                else:
+                    ev = lm.lerp(field, lefts[t], rights[t], consts[point])
+                prod = ev if prod is None else lm.mont_mul(field, prod, ev)
+            # raw lane sums -> proper limbs -> canonical block sum (< p).
+            # Mosaic has no unsigned reductions; limbs are < 2^16 so block
+            # sums < 2^26 are exact in int32.
+            cols = [
+                jnp.sum(x.astype(jnp.int32)).astype(jnp.uint32) for x in prod
+            ]
+            limbs, carry = lm.carry_prop(cols)
+            canon = lm.mont_reduce(field, limbs + [carry])
+            for i in range(L):
+                o_ref[point, i] += canon[i]
+
+    half = pl.BlockSpec((k, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    rhalf = pl.BlockSpec(
+        (k, L, block), lambda i, g=grid: (0, 0, i + g), memory_space=pltpu.VMEM
+    )
+    sums_spec = pl.BlockSpec(
+        (degree + 1, L), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((degree + 1, L), jnp.uint32),
+        grid=(grid,),
+        in_specs=[half, rhalf],
+        out_specs=sums_spec,
+    )(tables, tables)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fold_pallas(field: Field, k: int, n: int, tables, r):
+    """Fold (k, L, n) factor stack at challenge r -> (k, L, n/2)."""
+    L = field.n_limbs
+    block = min(BLOCK, n // 2)
+    grid = (n // 2) // block
+
+    def kernel(left_ref, right_ref, r_ref, o_ref):
+        r_rows = [r_ref[i] for i in range(L)]
+        for t in range(k):
+            out = lm.lerp(
+                field,
+                [left_ref[t, i] for i in range(L)],
+                [right_ref[t, i] for i in range(L)],
+                r_rows,
+            )
+            for i in range(L):
+                o_ref[t, i] = out[i]
+
+    half = pl.BlockSpec((k, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    rhalf = pl.BlockSpec(
+        (k, L, block), lambda i, g=grid: (0, 0, i + g), memory_space=pltpu.VMEM
+    )
+    r_spec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k, L, n // 2), jnp.uint32),
+        grid=(grid,),
+        in_specs=[half, rhalf, r_spec],
+        out_specs=half,
+    )(tables, tables, r)
+
+
+def decode_relaxed_sums(field: Field, sums) -> list[int]:
+    """(D+1, L) relaxed uint32 accumulators -> canonical ints (host carry)."""
+    a = np.asarray(jax.device_get(sums), dtype=np.uint64)
+    out = []
+    for row in a:
+        v = 0
+        for i, limb in enumerate(row):
+            v += int(limb) << (LIMB_BITS * i)
+        out.append(v % field.p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# host-int tier (exact tail + differential oracle)
+# --------------------------------------------------------------------------
+
+
+class HostTables:
+    """Factor tables as Python int lists: terms -> factors -> evals."""
+
+    def __init__(self, field: Field, terms: list[list[list[int]]]):
+        self.field = field
+        self.terms = terms
+
+    @property
+    def size(self) -> int:
+        return len(self.terms[0][0])
+
+    def round_sums(self, degree: int) -> list[int]:
+        f = self.field
+        n = self.size
+        half = n // 2
+        sums = []
+        for point in range(degree + 1):
+            total = 0
+            for term in self.terms:
+                for e in range(half):
+                    prod = 1
+                    for fac in term:
+                        left, right = fac[e], fac[e + half]
+                        if point == 0:
+                            ev = left
+                        elif point == 1:
+                            ev = right
+                        else:
+                            ev = (left - point * (left - right)) % f.p
+                        prod = (prod * ev) % f.p
+                    total = (total + prod) % f.p
+            sums.append(total)
+        return sums
+
+    def fold(self, r: int) -> "HostTables":
+        f = self.field
+        half = self.size // 2
+        new_terms = []
+        for term in self.terms:
+            new_terms.append(
+                [
+                    [
+                        (fac[e] - r * (fac[e] - fac[e + half])) % f.p
+                        for e in range(half)
+                    ]
+                    for fac in term
+                ]
+            )
+        return HostTables(f, new_terms)
