@@ -1,0 +1,274 @@
+"""GKR: layered-circuit interactive proof driving one sumcheck per layer.
+
+Reconstructed from the PAZK protocol (the reference snapshot lacks its
+gkr crate — readme.md:9, SURVEY.md §0/§2 #13) on top of the subclaim API
+the reference's sumcheck was shaped for (prove_partial returns
+challenges, verify_partial returns SubClaim — sumcheck/src/prover.rs:24-30,
+verifier.rs:38-41).
+
+Per layer i, with current claim m_i = W~_i(r_i), the prover runs a
+sumcheck over (b, c) in {0,1}^{2k} for
+
+  f(b,c) = add~_i(r_i,b,c) * (W~_{i+1}(b) + W~_{i+1}(c))
+         + mul~_i(r_i,b,c) *  W~_{i+1}(b) * W~_{i+1}(c)
+
+expressed as a SumOfProducts of multilinear factor tables on device:
+add_r/mul_r (eq(r_i, a)-weighted scatters of the wiring), W repeated
+along c, W tiled along b, and their sum — per-variable degree 2, so
+3-point round polys.  The two resulting claims W(b*), W(c*) are reduced
+to one by the canonical line restriction q(t) = W~(l(t)),
+l(t) = b* + t(c* - b*): the verifier checks q(0), q(1) against the
+claimed values, samples r*, and proceeds with m_{i+1} = q(r*) at
+r_{i+1} = l(r*).  The final claim is checked against the input MLE.
+
+Fiat-Shamir layout (this library's own, there being no reference one):
+outputs bytes -> sample r_0 -> per layer [sumcheck transcript ->
+w_b, w_c bytes -> q evals bytes -> sample r*].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from zk_tpu.fields import device as dev
+from zk_tpu.fields.field import Field
+from zk_tpu.gkr.circuit import ADD, Circuit, Gate  # noqa: F401
+from zk_tpu.poly import MLE, ProductPoly, SumOfProducts, UnivariatePolynomial
+from zk_tpu.poly.hypercube import binary_string
+from zk_tpu.sumcheck import (
+    SubClaim,
+    SumcheckError,
+    SumcheckProof,
+    SumcheckProver,
+    SumcheckVerifier,
+)
+from zk_tpu.transcript import Transcript
+
+
+class GKRError(Exception):
+    pass
+
+
+@dataclass
+class LayerProof:
+    sumcheck: SumcheckProof
+    w_b: int
+    w_c: int
+    q_evals: list[int]  # q(0..k) on the line through (b*, c*)
+
+
+@dataclass
+class GKRProof:
+    outputs: list[int]
+    layer_proofs: list[LayerProof]
+
+
+# --------------------------------------------------------------------------
+# eq / MLE helpers (host ints)
+# --------------------------------------------------------------------------
+
+
+def eq_weight(field: Field, point: list[int], bits: str) -> int:
+    """eq(point, bits) = prod_j (p_j b_j + (1-p_j)(1-b_j))."""
+    acc = 1
+    for p_j, ch in zip(point, bits):
+        term = p_j if ch == "1" else (1 - p_j) % field.p
+        acc = field.mul(acc, term)
+    return acc
+
+
+def mle_eval_host(field: Field, values: list[int], point: list[int]) -> int:
+    """Evaluate the MLE of a padded value vector at a point (host ints,
+    successive fold from var 0 = MSB — same math as evaluation_form.rs)."""
+    vals = [v % field.p for v in values]
+    for r in point:
+        half = len(vals) // 2
+        vals = [
+            (vals[e] - r * (vals[e] - vals[e + half])) % field.p for e in range(half)
+        ]
+    return vals[0]
+
+
+def _wiring_eval_host(
+    field: Field, circuit: Circuit, layer: int, op: str, point: list[int]
+) -> int:
+    """Evaluate add~_i / mul~_i at (r, b, c) — verifier-side, from the
+    circuit structure (sum of eq terms over the layer's gates of that op)."""
+    k_out = circuit.layer_k(layer)
+    k_in = circuit.layer_k(layer + 1)
+    r, bc = point[:k_out], point[k_out:]
+    b_pt, c_pt = bc[:k_in], bc[k_in:]
+    total = 0
+    for a, gate in enumerate(circuit.layers[layer]):
+        if gate.op != op:
+            continue
+        w = eq_weight(field, r, binary_string(a, k_out))
+        w = field.mul(w, eq_weight(field, b_pt, binary_string(gate.left, k_in)))
+        w = field.mul(w, eq_weight(field, c_pt, binary_string(gate.right, k_in)))
+        total = field.add(total, w)
+    return total
+
+
+def _build_layer_tables(
+    field: Field, circuit: Circuit, layer: int, r: list[int], w_below: list[int]
+):
+    """Device factor tables over (b, c) for the layer polynomial."""
+    k_in = circuit.layer_k(layer + 1)
+    k_out = circuit.layer_k(layer)
+    size_in = 1 << k_in
+    size_bc = size_in * size_in
+
+    # sparse scatter of eq(r, a) weights at (left, right) positions
+    add_vals = [0] * size_bc
+    mul_vals = [0] * size_bc
+    for a, gate in enumerate(circuit.layers[layer]):
+        wgt = eq_weight(field, r, binary_string(a, k_out))
+        pos = gate.left * size_in + gate.right
+        if gate.op == ADD:
+            add_vals[pos] = field.add(add_vals[pos], wgt)
+        else:
+            mul_vals[pos] = field.add(mul_vals[pos], wgt)
+
+    add_r = MLE.new(field, 2 * k_in, add_vals)
+    mul_r = MLE.new(field, 2 * k_in, mul_vals)
+
+    w_dev = dev.encode_ints(field, w_below)  # (L, 2^k)
+    L = field.n_limbs
+    # index (b, c) = b * 2^k + c with b on the MSB half (var order b then c)
+    wb = MLE(field, 2 * k_in, jnp.repeat(w_dev, size_in, axis=1))
+    wc = MLE(field, 2 * k_in, jnp.tile(w_dev, (1, size_in)))
+    wsum = MLE(field, 2 * k_in, dev.add_mod(field, wb.data, wc.data))
+
+    return SumOfProducts(
+        [ProductPoly([add_r, wsum]), ProductPoly([mul_r, wb, wc])]
+    )
+
+
+# --------------------------------------------------------------------------
+# prover
+# --------------------------------------------------------------------------
+
+
+class GKRProver:
+    @staticmethod
+    def prove(
+        field: Field, circuit: Circuit, inputs: list[int]
+    ) -> tuple[GKRProof, list[list[int]]]:
+        """Prove circuit(inputs) = outputs; returns (proof, wire levels)."""
+        levels = circuit.evaluate(field, inputs)
+        outputs = levels[0][: len(circuit.layers[0])]
+
+        transcript = Transcript()
+        transcript.append(field.elements_to_bytes(outputs))
+        r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
+        m = mle_eval_host(field, levels[0], r)
+
+        layer_proofs: list[LayerProof] = []
+        for i in range(circuit.depth):
+            k_in = circuit.layer_k(i + 1)
+            poly = _build_layer_tables(field, circuit, i, r, levels[i + 1])
+            proof, challenges = SumcheckProver._prove_internal(
+                poly, m, transcript, max_var_degree=2
+            )
+            b_star, c_star = challenges[:k_in], challenges[k_in:]
+
+            w_b = mle_eval_host(field, levels[i + 1], b_star)
+            w_c = mle_eval_host(field, levels[i + 1], c_star)
+            transcript.append(field.elements_to_bytes([w_b, w_c]))
+
+            # line restriction q(t) = W~(l(t)), l(t) = b* + t(c* - b*),
+            # degree <= k_in: send evaluations at t = 0..k_in
+            q_evals = []
+            for t in range(k_in + 1):
+                if t == 0:
+                    q_evals.append(w_b)
+                elif t == 1:
+                    q_evals.append(w_c)
+                else:
+                    pt = [
+                        (b + t * (c - b)) % field.p for b, c in zip(b_star, c_star)
+                    ]
+                    q_evals.append(mle_eval_host(field, levels[i + 1], pt))
+            transcript.append(field.elements_to_bytes(q_evals))
+
+            r_star = transcript.sample_field_element(field)
+            r = [(b + r_star * (c - b)) % field.p for b, c in zip(b_star, c_star)]
+            q = UnivariatePolynomial.interpolate(field, q_evals)
+            m = q.evaluate(r_star)
+
+            layer_proofs.append(
+                LayerProof(sumcheck=proof, w_b=w_b, w_c=w_c, q_evals=q_evals)
+            )
+
+        return GKRProof(outputs=outputs, layer_proofs=layer_proofs), levels
+
+
+# --------------------------------------------------------------------------
+# verifier
+# --------------------------------------------------------------------------
+
+
+class GKRVerifier:
+    @staticmethod
+    def verify(
+        field: Field, circuit: Circuit, inputs: list[int], proof: GKRProof
+    ) -> bool:
+        """Verify a GKR proof against the circuit + inputs.  Raises
+        GKRError / SumcheckError on malformed proofs; returns False on a
+        final-claim mismatch (mirroring the sumcheck error semantics)."""
+        if len(proof.layer_proofs) != circuit.depth:
+            raise GKRError("invalid proof: require one layer proof per circuit layer")
+
+        transcript = Transcript()
+        transcript.append(field.elements_to_bytes(proof.outputs))
+        r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
+        padded_out = proof.outputs + [0] * (
+            (1 << circuit.layer_k(0)) - len(proof.outputs)
+        )
+        m = mle_eval_host(field, padded_out, r)
+
+        for i, lp in enumerate(proof.layer_proofs):
+            k_in = circuit.layer_k(i + 1)
+            if len(lp.sumcheck.round_polys) != 2 * k_in:
+                raise GKRError("invalid layer proof: wrong sumcheck round count")
+            if lp.sumcheck.sum % field.p != m:
+                raise GKRError("layer claim does not match running claim")
+
+            subclaim = SumcheckVerifier._verify_internal(
+                field, lp.sumcheck, transcript
+            )
+            b_star = subclaim.challenges[:k_in]
+            c_star = subclaim.challenges[k_in:]
+            transcript.append(field.elements_to_bytes([lp.w_b, lp.w_c]))
+
+            # oracle check of the layer polynomial at (b*, c*)
+            add_e = _wiring_eval_host(field, circuit, i, ADD, r + b_star + c_star)
+            mul_e = _wiring_eval_host(field, circuit, i, "mul", r + b_star + c_star)
+            expect = field.add(
+                field.mul(add_e, field.add(lp.w_b, lp.w_c)),
+                field.mul(mul_e, field.mul(lp.w_b, lp.w_c)),
+            )
+            if expect != subclaim.sum:
+                raise GKRError("layer oracle check failed")
+
+            # line-restriction consistency + claim reduction
+            if len(lp.q_evals) != k_in + 1:
+                raise GKRError("invalid layer proof: wrong q eval count")
+            if lp.q_evals[0] % field.p != lp.w_b or (
+                k_in >= 1 and lp.q_evals[1] % field.p != lp.w_c
+            ):
+                raise GKRError("line restriction inconsistent with claimed w values")
+            transcript.append(field.elements_to_bytes(lp.q_evals))
+
+            r_star = transcript.sample_field_element(field)
+            r = [(b + r_star * (c - b)) % field.p for b, c in zip(b_star, c_star)]
+            q = UnivariatePolynomial.interpolate(field, lp.q_evals)
+            m = q.evaluate(r_star)
+
+        # final oracle check against the input MLE
+        padded_inputs = [v % field.p for v in inputs] + [0] * (
+            (1 << circuit.layer_k(circuit.depth)) - len(inputs)
+        )
+        return mle_eval_host(field, padded_inputs, r) == m

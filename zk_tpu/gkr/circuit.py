@@ -1,0 +1,98 @@
+"""Layered arithmetic circuits for GKR.
+
+The reference snapshot's gkr crate is absent (readme.md:9 links it;
+SURVEY.md §0) — this component is reconstructed from the PAZK protocol
+spec (Thaler ch. 4) against the interface the reference's sumcheck crate
+anticipates (SubClaim / prove_partial, sumcheck/src/lib.rs:13-20).
+
+A circuit is a list of layers of fan-in-2 add/mul gates; layer 0 is the
+output layer, each gate reads two wire indices from the layer below, and
+the bottom layer reads the inputs.  Layer value vectors are padded to
+powers of two so W_i extends to an MLE with var 0 = MSB (the convention
+of the polynomial layer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from zk_tpu.fields.field import Field
+
+ADD = "add"
+MUL = "mul"
+
+
+@dataclass(frozen=True)
+class Gate:
+    op: str  # "add" | "mul"
+    left: int  # wire index in the layer below
+    right: int
+
+    def __post_init__(self):
+        if self.op not in (ADD, MUL):
+            raise ValueError(f"unknown gate op {self.op!r}")
+
+
+def _k_for(size: int) -> int:
+    """Variable count for a layer of `size` wires (>= 1)."""
+    if size <= 1:
+        return 0
+    return (size - 1).bit_length()
+
+
+class Circuit:
+    """Layered fan-in-2 arithmetic circuit.
+
+    layers[0] is the output layer; gate children index into the next
+    layer down (layers[i+1], or the inputs for the last layer).
+    """
+
+    def __init__(self, layers: list[list[Gate]], n_inputs: int):
+        if not layers:
+            raise ValueError("circuit must have at least one layer")
+        if n_inputs < 1:
+            raise ValueError("circuit must have at least one input")
+        self.layers = layers
+        self.n_inputs = n_inputs
+        # validate wiring
+        for i, layer in enumerate(layers):
+            below = len(layers[i + 1]) if i + 1 < len(layers) else n_inputs
+            for g in layer:
+                if not (0 <= g.left < below and 0 <= g.right < below):
+                    raise ValueError(
+                        f"layer {i} gate references wire outside layer below"
+                    )
+
+    @property
+    def depth(self) -> int:
+        return len(self.layers)
+
+    def layer_size(self, i: int) -> int:
+        """Wire count of level i, where level depth is the input layer."""
+        if i == self.depth:
+            return self.n_inputs
+        return len(self.layers[i])
+
+    def layer_k(self, i: int) -> int:
+        """MLE variable count of level i (padded to power of two)."""
+        return _k_for(self.layer_size(i))
+
+    def evaluate(self, field: Field, inputs: list[int]) -> list[list[int]]:
+        """Wire values per level, output level first; each vector padded
+        with zeros to 2^k.  w[depth] is the (padded) input vector."""
+        if len(inputs) != self.n_inputs:
+            raise ValueError("wrong number of inputs")
+        levels = [None] * (self.depth + 1)
+        cur = [v % field.p for v in inputs]
+        levels[self.depth] = cur + [0] * ((1 << _k_for(len(cur))) - len(cur))
+        for i in range(self.depth - 1, -1, -1):
+            vals = []
+            for g in self.layers[i]:
+                a, b = cur[g.left], cur[g.right]
+                vals.append(field.add(a, b) if g.op == ADD else field.mul(a, b))
+            cur = vals
+            levels[i] = vals + [0] * ((1 << _k_for(len(vals))) - len(vals))
+        return levels
+
+    def outputs(self, field: Field, inputs: list[int]) -> list[int]:
+        return self.evaluate(field, inputs)[0][: len(self.layers[0])]
