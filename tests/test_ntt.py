@@ -56,3 +56,32 @@ def test_non_power_of_two_panics():
 def test_size_one_identity():
     assert ntt(F17, [5]) == [5]
     assert intt(F17, [5]) == [5]
+
+
+def test_four_step_matches_dft():
+    # n = 2^13 goes through the Bailey 4-step path (_DIRECT_LADDER_MAX = 2^12)
+    import numpy as np
+
+    from zk_tpu.fields import device as dev
+    from zk_tpu.ntt import intt_device, ntt_device
+
+    f = GOLDILOCKS
+    rng = random.Random(11)
+    n = 1 << 13
+    vals = [rng.randrange(f.p) for _ in range(n)]
+    data = dev.encode_ints(f, vals)
+    out = ntt_device(f, data)
+    got = dev.decode_ints(f, out)
+    # spot-check outputs against the DFT definition
+    omega = f.get_root_of_unity(n)
+    for k in (0, 1, 5, n - 1):
+        want = 0
+        wk = pow(omega, k, f.p)
+        cur = 1
+        for v in vals:
+            want = (want + v * cur) % f.p
+            cur = (cur * wk) % f.p
+        assert got[k] == want, k
+    # roundtrip through the 4-step inverse
+    back = dev.decode_ints(f, intt_device(f, out))
+    assert back == vals

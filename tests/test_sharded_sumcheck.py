@@ -1,0 +1,89 @@
+"""Sharded sumcheck on the 8-device CPU mesh: proofs must be byte-identical
+to the single-chip prover (sharding is invisible to the verifier)."""
+
+import random
+
+import pytest
+
+import jax
+
+from zk_tpu.fields import BLS12_381_FR as FR, F17, GOLDILOCKS
+from zk_tpu.parallel import ShardedSumcheckProver, make_mesh
+from zk_tpu.poly import MLE, ProductPoly, SumOfProducts
+from zk_tpu.sumcheck import SumcheckProver, SumcheckVerifier
+
+
+def _random_mle(field, n, seed):
+    rng = random.Random(seed)
+    return MLE.new(field, n, [rng.randrange(field.p) for _ in range(1 << n)])
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("field", [F17, GOLDILOCKS], ids=lambda f: f.name)
+def test_sharded_matches_single_chip(field):
+    mesh = make_mesh(8)
+    poly = _random_mle(field, 7, 1)
+    pp = ProductPoly([poly])
+    total = sum(poly.evaluation_ints()) % field.p
+    proof_s, ch_s = ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=1)
+    proof_1, ch_1 = SumcheckProver.prove_partial(pp, total, max_var_degree=1)
+    assert proof_s.round_polys == proof_1.round_polys
+    assert ch_s == ch_1
+    sub = SumcheckVerifier.verify_partial(field, proof_s)
+    assert pp.evaluate(sub.challenges) == sub.sum
+
+
+def test_sharded_product_degree2():
+    mesh = make_mesh(8)
+    field = F17
+    a = _random_mle(field, 6, 2)
+    b = _random_mle(field, 6, 3)
+    pp = ProductPoly([a, b])
+    total = 0
+    for x, y in zip(a.evaluation_ints(), b.evaluation_ints()):
+        total = field.add(total, field.mul(x, y))
+    proof_s, _ = ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=2)
+    proof_1, _ = SumcheckProver.prove_partial(pp, total, max_var_degree=2)
+    assert proof_s.round_polys == proof_1.round_polys
+    sub = SumcheckVerifier.verify_partial(field, proof_s)
+    assert pp.evaluate(sub.challenges) == sub.sum
+
+
+def test_sharded_sum_of_products():
+    mesh = make_mesh(8)
+    field = F17
+    a = _random_mle(field, 6, 4)
+    b = _random_mle(field, 6, 5)
+    c = _random_mle(field, 6, 6)
+    sp = SumOfProducts([ProductPoly([a, b]), ProductPoly([c])])
+    total = 0
+    for x, y, z in zip(a.evaluation_ints(), b.evaluation_ints(), c.evaluation_ints()):
+        total = field.add(total, field.add(field.mul(x, y), z))
+    proof_s, _ = ShardedSumcheckProver.prove_partial(mesh, sp, total, max_var_degree=2)
+    proof_1, _ = SumcheckProver.prove_partial(sp, total, max_var_degree=2)
+    assert proof_s.round_polys == proof_1.round_polys
+
+
+def test_sharded_small_mesh_sizes():
+    # mesh smaller than device count; table barely larger than mesh
+    field = F17
+    mesh = make_mesh(4)
+    poly = _random_mle(field, 4, 7)
+    pp = ProductPoly([poly])
+    total = sum(poly.evaluation_ints()) % field.p
+    proof_s, _ = ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=1)
+    proof_1, _ = SumcheckProver.prove_partial(pp, total, max_var_degree=1)
+    assert proof_s.round_polys == proof_1.round_polys
+
+
+def test_sharded_bls_field():
+    mesh = make_mesh(8)
+    poly = _random_mle(FR, 6, 8)
+    pp = ProductPoly([poly])
+    total = sum(poly.evaluation_ints()) % FR.p
+    proof_s, _ = ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=1)
+    proof_1, _ = SumcheckProver.prove_partial(pp, total, max_var_degree=1)
+    assert proof_s.round_polys == proof_1.round_polys

@@ -75,45 +75,107 @@ def _plan(field: Field, n: int, inverse: bool):
     return perm, tuple(stages), scale
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _ntt_ladder(field: Field, data, perm, stages, scale):
-    """data: (L, n) Montgomery limbs -> DFT, natural order in/out."""
-    L, n = data.shape
-    x = jnp.take(data, perm, axis=1)
+def _ladder_body(field: Field, x, perm, stages, scale):
+    """DIT ladder on (L, *batch, n) Montgomery limbs, last axis transformed."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    x = jnp.take(x, perm, axis=-1)
     for s, w in enumerate(stages, start=1):
         m = 1 << s
-        xb = x.reshape(L, n // m, m)
-        e = xb[:, :, : m // 2]
-        o = xb[:, :, m // 2 :]
-        t = dev.mont_mul(field, o, w[:, None, :])
+        xb = x.reshape(lead + (n // m, m))
+        e = xb[..., : m // 2]
+        o = xb[..., m // 2 :]
+        wb = w.reshape((w.shape[0],) + (1,) * (len(lead) - 1) + (1, m // 2))
+        t = dev.mont_mul(field, o, wb)
         x = jnp.concatenate(
             [dev.add_mod(field, e, t), dev.sub_mod(field, e, t)], axis=-1
-        ).reshape(L, n)
+        ).reshape(lead + (n,))
     if scale is not None:
-        x = dev.mont_mul(field, x, scale)
+        sc = scale.reshape((scale.shape[0],) + (1,) * (len(lead) - 1) + (1,))
+        x = dev.mont_mul(field, x, sc)
     return x
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _ntt_ladder(field: Field, data, perm, stages, scale):
+    """data: (L, *batch, n) Montgomery limbs -> DFT along the last axis,
+    natural order in/out."""
+    return _ladder_body(field, data, perm, stages, scale)
+
+
+# sizes above this use the 4-step factorization (bounds ladder compile depth)
+_DIRECT_LADDER_MAX = 1 << 12
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_base_row(field: Field, n: int, n1: int, inverse: bool):
+    """(L, n1) Montgomery powers [w^0 .. w^(n1-1)] of the size-n root."""
+    omega = field.get_root_of_unity(n)
+    if inverse:
+        omega = field.inv(omega)
+    return jnp.asarray(_powers_mont(field, omega, n1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _twiddle_table(field: Field, n1: int, n2: int, base_row):
+    """(L, n2, n1) Montgomery table T[i2, k1] = w^(i2*k1), built on device
+    as a cumulative Montgomery-product scan of the base power row."""
+    ones = jnp.broadcast_to(
+        jnp.asarray(dev.const_limbs(field, 1)).reshape(field.n_limbs, 1),
+        base_row.shape,
+    )
+
+    def body(carry, _):
+        return dev.mont_mul(field, carry, base_row), carry
+
+    _, rows = jax.lax.scan(body, ones, None, length=n2)
+    return rows.transpose(1, 0, 2)  # (L, n2, n1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _four_step(field: Field, n1: int, n2: int, inverse: bool, data, p1, p2, twid):
+    """Bailey 4-step NTT: view (n1, n2) row-major; column DFTs (length n1),
+    twiddle w^(i2*k1), row DFTs (length n2), transpose out.
+
+    On a single chip this bounds compile depth (the two ladders are small
+    and shared); across a mesh the middle transpose becomes the
+    all-to-all (zk_tpu.parallel.ntt)."""
+    L = field.n_limbs
+    perm1, stages1, scale1 = p1
+    perm2, stages2, scale2 = p2
+    a = data.reshape(L, n1, n2).transpose(0, 2, 1)  # (L, n2, n1): [i2, i1]
+    y = _ladder_body(field, a, perm1, stages1, scale1)  # [i2, k1]
+    y = dev.mont_mul(field, y, twid)  # * w^(i2*k1)
+    z = _ladder_body(field, y.transpose(0, 2, 1), perm2, stages2, scale2)  # [k1, k2]
+    return z.transpose(0, 2, 1).reshape(L, n1 * n2)  # X[k2*n1 + k1]
+
+
+def _transform_device(field: Field, data: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    n = data.shape[-1]
+    if n & (n - 1):
+        raise ValueError("values must be a power of 2")
+    if n == 1:
+        return data
+    if n <= _DIRECT_LADDER_MAX:
+        perm, stages, scale = _plan(field, n, inverse)
+        return _ntt_ladder(field, data, perm, stages, scale)
+    logn = n.bit_length() - 1
+    n1 = 1 << (logn // 2)
+    n2 = n // n1
+    p1 = _plan(field, n1, inverse)
+    p2 = _plan(field, n2, inverse)
+    twid = _twiddle_table(field, n1, n2, _twiddle_base_row(field, n, n1, inverse))
+    return _four_step(field, n1, n2, inverse, data, p1, p2, twid)
 
 
 def ntt_device(field: Field, data: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT on a (L, n) Montgomery limb tensor."""
-    n = data.shape[-1]
-    if n & (n - 1):
-        raise ValueError("values must be a power of 2")
-    if n == 1:
-        return data
-    perm, stages, _ = _plan(field, n, inverse=False)
-    return _ntt_ladder(field, data, perm, stages, None)
+    return _transform_device(field, data, inverse=False)
 
 
 def intt_device(field: Field, data: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT on a (L, n) Montgomery limb tensor (fft/src/lib.rs:11-19)."""
-    n = data.shape[-1]
-    if n & (n - 1):
-        raise ValueError("values must be a power of 2")
-    if n == 1:
-        return data
-    perm, stages, scale = _plan(field, n, inverse=True)
-    return _ntt_ladder(field, data, perm, stages, scale)
+    return _transform_device(field, data, inverse=True)
 
 
 def ntt(field: Field, coefficients: list[int]) -> list[int]:

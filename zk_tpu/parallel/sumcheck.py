@@ -1,0 +1,208 @@
+"""Mesh-sharded sumcheck prover — byte-identical proofs to single-chip.
+
+Layout (SURVEY.md §7 trick, restated): a 2^n table is viewed as
+(L, W, S) with flat natural index w*S + s.  The S axis is sharded across
+the mesh; the W axis holds the top log2(W) bits = the EARLY variables,
+which sumcheck folds first.  Each fold halves W with contiguous local
+slices (left = w < W/2, right = w >= W/2) — zero communication; the only
+collective is one psum of (degree+1) partial sums per round.  When W
+reaches 1 the surviving table (size S = one element per lane) is
+gathered and the remaining log2(S) rounds run on host ints (the
+gather-to-replicated cheap tail, SURVEY.md §7 risk 4).
+
+The transcript, challenge flow, and emitted bytes are identical to
+zk_tpu.sumcheck.SumcheckProver — sharding is invisible to the verifier.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from zk_tpu.fields import device as dev
+from zk_tpu.fields.field import Field, LIMB_BITS
+from zk_tpu.sumcheck import SumcheckProof, _poly_to_tables
+from zk_tpu.sumcheck.kernels import HostTables
+from zk_tpu.transcript import Transcript
+
+AXIS = "x"
+
+
+def _round_sums_sharded(field: Field, degree: int, mesh: Mesh, terms3):
+    """terms3: list of (k, L, W, S) sharded arrays -> (degree+1, L) relaxed
+    limb accumulators (values < D * 2^16 per limb; exact host decode)."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(None, None, None, AXIS),
+        out_specs=P(None, None),
+    )
+    def one_term(stack):  # local (k, L, W, S/D)
+        k = stack.shape[0]
+        w = stack.shape[2]
+        outs = []
+        for point in range(degree + 1):
+            prod = None
+            for t in range(k):
+                fac = stack[t]  # (L, W, Sd)
+                left, right = fac[:, : w // 2, :], fac[:, w // 2 :, :]
+                if point == 0:
+                    ev = left
+                elif point == 1:
+                    ev = right
+                else:
+                    r_i = jnp.asarray(dev.const_limbs(field, point)).reshape(
+                        field.n_limbs, 1, 1
+                    )
+                    ev = dev.lerp(field, left, right, r_i)
+                prod = ev if prod is None else dev.mont_mul(field, prod, ev)
+            flat = prod.reshape(field.n_limbs, -1)
+            local = dev.sum_mod(field, flat, axis=-1)  # (L,) canonical < p
+            outs.append(jax.lax.psum(local, AXIS))  # relaxed: < D * 2^16/limb
+        return jnp.stack(outs)
+
+    total = None
+    for t3 in terms3:
+        part = one_term(t3)
+        total = part if total is None else total + part  # still relaxed-exact
+    return total
+
+
+def _fold_sharded(field: Field, mesh: Mesh, terms3, r):
+    """Fold every factor's W axis at challenge r; W halves, S untouched."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, None, AXIS), P(None, None)),
+        out_specs=P(None, None, None, AXIS),
+    )
+    def one_term(stack, r_loc):
+        k, L, w, sd = stack.shape
+        outs = []
+        for t in range(k):
+            fac = stack[t]
+            outs.append(
+                dev.lerp(
+                    field, fac[:, : w // 2, :], fac[:, w // 2 :, :], r_loc[:, :1, None]
+                )
+            )
+        return jnp.stack(outs)
+
+    return [one_term(t3, r) for t3 in terms3]
+
+
+def _decode_relaxed_vec(field: Field, arr) -> list[int]:
+    """(D+1, L) relaxed uint32 limb rows (sums of Montgomery values) ->
+    canonical ints: bigint carry, then un-scale by R^-1, mod p."""
+    a = np.asarray(jax.device_get(arr), dtype=np.uint64)
+    rinv = pow(field.R, -1, field.p)
+    out = []
+    for row in a:
+        v = 0
+        for i, limb in enumerate(row):
+            v += int(limb) << (LIMB_BITS * i)
+        out.append((v * rinv) % field.p)
+    return out
+
+
+class ShardedSumcheckProver:
+    """Drop-in sharded prover: same proofs, psum-per-round collectives."""
+
+    @staticmethod
+    def prove_partial(
+        mesh: Mesh, poly, sum: int, max_var_degree: int | None = None
+    ) -> tuple[SumcheckProof, list[int]]:
+        transcript = Transcript()
+        return ShardedSumcheckProver._prove_internal(
+            mesh, poly, sum, transcript, max_var_degree
+        )
+
+    @staticmethod
+    def prove(
+        mesh: Mesh, poly, sum: int, max_var_degree: int | None = None
+    ) -> SumcheckProof:
+        transcript = Transcript()
+        transcript.append(poly.to_bytes())
+        proof, _ = ShardedSumcheckProver._prove_internal(
+            mesh, poly, sum, transcript, max_var_degree
+        )
+        return proof
+
+    @staticmethod
+    def _prove_internal(
+        mesh: Mesh,
+        poly,
+        sum: int,
+        transcript: Transcript,
+        max_var_degree: int | None = None,
+    ) -> tuple[SumcheckProof, list[int]]:
+        field: Field = poly.field
+        degree = max_var_degree if max_var_degree is not None else poly.max_degree
+        transcript.append(field.to_bytes_be(sum))
+
+        n_vars = poly.n_vars
+        n = 1 << n_vars
+        d_mesh = mesh.devices.size
+        L = field.n_limbs
+
+        # choose the sharded lane extent S = D * C; keep W >= 2
+        c = max(1, min(1024, n // (2 * d_mesh)))
+        s_extent = d_mesh * c
+        if n < 2 * s_extent:
+            s_extent = d_mesh if n >= 2 * d_mesh else 1
+        w = n // s_extent
+
+        terms = _poly_to_tables(poly)
+        sharding = NamedSharding(mesh, P(None, None, None, AXIS))
+        terms3 = [
+            jax.device_put(
+                jnp.stack([f.reshape(L, w, s_extent) for f in term]), sharding
+            )
+            for term in terms
+        ]
+
+        round_polys: list[list[int]] = []
+        challenges: list[int] = []
+
+        for _ in range(n_vars):
+            if w <= 1:
+                break
+            relaxed = _round_sums_sharded(field, degree, mesh, terms3)
+            round_poly = _decode_relaxed_vec(field, relaxed)
+            transcript.append(field.elements_to_bytes(round_poly))
+            challenge = transcript.sample_field_element(field)
+            r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(L, 1)
+            terms3 = _fold_sharded(field, mesh, terms3, r)
+            round_polys.append(round_poly)
+            challenges.append(challenge)
+            w //= 2
+
+        # gather-to-host tail for the remaining log2(S) rounds
+        remaining = n_vars - len(challenges)
+        if remaining > 0:
+            host = HostTables(
+                field,
+                [
+                    [
+                        dev.decode_ints(field, np.asarray(jax.device_get(t3))[ti].reshape(L, -1))
+                        for ti in range(t3.shape[0])
+                    ]
+                    for t3 in terms3
+                ],
+            )
+            for _ in range(remaining):
+                round_poly = host.round_sums(degree)
+                transcript.append(field.elements_to_bytes(round_poly))
+                challenge = transcript.sample_field_element(field)
+                host = host.fold(challenge)
+                round_polys.append(round_poly)
+                challenges.append(challenge)
+
+        return SumcheckProof(sum=sum, round_polys=round_polys), challenges

@@ -208,9 +208,12 @@ class SumcheckProver:
                 totals = [0] * (degree + 1)
                 for stack in stacks:
                     k = stack.shape[0]
-                    part = K.decode_relaxed_sums(
-                        field, K._round_sums_pallas(field, degree, k, size, stack)
-                    )
+                    if degree == 1 and k == 1:
+                        # no-multiplication path: half sums in plain XLA
+                        raw = K._half_sums_relaxed(field, stack)
+                    else:
+                        raw = K._round_sums_pallas(field, degree, k, size, stack)
+                    part = K.decode_relaxed_sums(field, raw)
                     totals = [field.add(a, b) for a, b in zip(totals, part)]
                 round_poly = totals
             else:

@@ -37,7 +37,7 @@ from zk_tpu.fields.pallas_kernels import on_tpu
 
 TAIL_SIZE = 2048  # tables at/below this size finish on host ints
 BLOCK = 1024
-MAX_GRID = 1 << 16  # relaxed-accumulation overflow guard
+MAX_GRID = 1 << 15  # relaxed vector-accumulation overflow guard (2^16 * 2^15 < 2^32)
 
 
 # --------------------------------------------------------------------------
@@ -49,9 +49,16 @@ MAX_GRID = 1 << 16  # relaxed-accumulation overflow guard
 def _round_sums_pallas(field: Field, degree: int, k: int, n: int, tables):
     """All D+1 round-poly sums for a (k, L, n) factor stack.
 
-    Returns (degree+1, L) relaxed uint32 limb accumulators (host finishes
-    the carry/mod).  Point 0/1 take the left/right half products; points
-    >= 2 lerp with the constant scalar i (prover.rs:49-56 semantics).
+    Returns (degree+1, L, block) relaxed uint32 VECTOR accumulators: each
+    grid step adds its product tile (Montgomery values < p, limbs < 2^16)
+    elementwise, so after <= MAX_GRID steps every accumulator limb is
+    < 2^31 — no in-kernel reduction or modular math at all.  The host
+    finishes lane sums + carries + mod p exactly in uint64/bigint
+    (decode_relaxed_sums).
+
+    Point 0/1 take the left/right half products (no multiplies — the
+    structural 0/1 fast path of evaluation_form.rs:60-63); points >= 2
+    lerp with the constant scalar i (prover.rs:49-56 semantics).
     """
     L = field.n_limbs
     block = min(BLOCK, n // 2)
@@ -65,9 +72,7 @@ def _round_sums_pallas(field: Field, degree: int, k: int, n: int, tables):
     def kernel(left_ref, right_ref, o_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
-            for point in range(degree + 1):
-                for i in range(L):
-                    o_ref[point, i] = jnp.uint32(0)
+            o_ref[...] = jnp.zeros_like(o_ref)
 
         lefts = [[left_ref[t, i] for i in range(L)] for t in range(k)]
         rights = [[right_ref[t, i] for i in range(L)] for t in range(k)]
@@ -81,30 +86,22 @@ def _round_sums_pallas(field: Field, degree: int, k: int, n: int, tables):
                 else:
                     ev = lm.lerp(field, lefts[t], rights[t], consts[point])
                 prod = ev if prod is None else lm.mont_mul(field, prod, ev)
-            # raw lane sums -> proper limbs -> canonical block sum (< p).
-            # Mosaic has no unsigned reductions; limbs are < 2^16 so block
-            # sums < 2^26 are exact in int32.
-            cols = [
-                jnp.sum(x.astype(jnp.int32)).astype(jnp.uint32) for x in prod
-            ]
-            limbs, carry = lm.carry_prop(cols)
-            canon = lm.mont_reduce(field, limbs + [carry])
             for i in range(L):
-                o_ref[point, i] += canon[i]
+                o_ref[point, i, :] += prod[i]
 
     half = pl.BlockSpec((k, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     rhalf = pl.BlockSpec(
         (k, L, block), lambda i, g=grid: (0, 0, i + g), memory_space=pltpu.VMEM
     )
-    sums_spec = pl.BlockSpec(
-        (degree + 1, L), lambda i: (0, 0), memory_space=pltpu.SMEM
+    acc_spec = pl.BlockSpec(
+        (degree + 1, L, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((degree + 1, L), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((degree + 1, L, block), jnp.uint32),
         grid=(grid,),
         in_specs=[half, rhalf],
-        out_specs=sums_spec,
+        out_specs=acc_spec,
     )(tables, tables)
 
 
@@ -141,15 +138,40 @@ def _fold_pallas(field: Field, k: int, n: int, tables, r):
     )(tables, tables, r)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _half_sums_relaxed(field: Field, stack):
+    """Degree-1 single-factor round sums: p(0) = sum(left half), p(1) =
+    sum(right half) — no field multiplications at all (the structural 0/1
+    fast path).  Pure XLA: chunked uint32 lane sums (<= 2^10 summands per
+    output, so limb accumulators < 2^26).  Returns (2, L, chunks) relaxed
+    accumulators for decode_relaxed_sums."""
+    x = stack[0]  # (L, n)
+    L, n = x.shape
+    half = n // 2
+
+    def chunk_sum(a):
+        m = a.shape[-1]
+        c = max(1, m // (1 << 10))
+        return jnp.sum(a.reshape(L, c, m // c), axis=-1, dtype=jnp.uint32)
+
+    return jnp.stack([chunk_sum(x[:, :half]), chunk_sum(x[:, half:])])
+
+
 def decode_relaxed_sums(field: Field, sums) -> list[int]:
-    """(D+1, L) relaxed uint32 accumulators -> canonical ints (host carry)."""
+    """(D+1, L, block) relaxed uint32 vector accumulators -> canonical
+    ints: exact uint64 lane sums, then bigint carry + Montgomery
+    un-scaling + mod p on host.  The accumulated values are sums of
+    Montgomery representatives, so the total is (true_sum * R) mod-p
+    equivalent; multiply by R^-1 once."""
     a = np.asarray(jax.device_get(sums), dtype=np.uint64)
+    lane_tot = a.sum(axis=-1)  # (D+1, L), exact in uint64
+    rinv = pow(field.R, -1, field.p)
     out = []
-    for row in a:
+    for row in lane_tot:
         v = 0
         for i, limb in enumerate(row):
             v += int(limb) << (LIMB_BITS * i)
-        out.append(v % field.p)
+        out.append((v * rinv) % field.p)
     return out
 
 
