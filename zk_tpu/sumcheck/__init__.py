@@ -176,46 +176,75 @@ class SumcheckProver:
         n_vars = poly.n_vars
         size = 1 << n_vars
         use_pallas = on_tpu()
-
-        # device representation: per-term (k, L, size) stacks (pallas) or
-        # tuple-of-tuples (jnp)
         terms = _poly_to_tables(poly)
-        if use_pallas:
-            stacks = [jnp.stack(term) for term in terms]
-        host_tables = None
 
-        for _ in range(n_vars):
+        if use_pallas and size > tail:
+            # device rounds with ONE fused fold+sums dispatch per round;
+            # the sums device_get is the only per-round sync point
+            stacks = [jnp.stack(term) for term in terms]
+
+            def decode_round(raws):
+                totals = [0] * (degree + 1)
+                for raw in raws:
+                    part = K.decode_relaxed_sums(field, raw)
+                    totals = [field.add(a, b) for a, b in zip(totals, part)]
+                return totals
+
+            def sums_only(stack, n):
+                k = stack.shape[0]
+                if degree == 1 and k == 1:
+                    return K._half_sums_relaxed(field, stack)
+                return K._round_sums_pallas(field, degree, k, n, stack)
+
+            raws = [sums_only(s, size) for s in stacks]
+            while size > tail:
+                round_poly = decode_round(raws)
+                transcript.append(field.elements_to_bytes(round_poly))
+                challenge = transcript.sample_field_element(field)
+                r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(
+                    field.n_limbs, 1
+                )
+                if size // 2 > tail:
+                    pairs = [
+                        K._fold_then_sums(field, degree, s.shape[0], size, s, r)
+                        for s in stacks
+                    ]
+                    stacks = [p[0] for p in pairs]
+                    raws = [p[1] for p in pairs]
+                else:
+                    stacks = [
+                        K._fold_pallas(field, s.shape[0], size, s, r)
+                        for s in stacks
+                    ]
+                round_polys.append(round_poly)
+                challenges.append(challenge)
+                size //= 2
+
+            host_tables = K.HostTables(
+                field,
+                [
+                    [
+                        dev.decode_ints(field, stack[t_i])
+                        for t_i in range(stack.shape[0])
+                    ]
+                    for stack in stacks
+                ],
+            )
+        else:
+            host_tables = None
+
+        for _ in range(n_vars - len(challenges)):
             if host_tables is None and size <= tail:
                 host_tables = K.HostTables(
                     field,
                     [
                         [dev.decode_ints(field, fac) for fac in term]
                         for term in terms
-                    ]
-                    if not use_pallas
-                    else [
-                        [
-                            dev.decode_ints(field, stack[t_i])
-                            for t_i in range(stack.shape[0])
-                        ]
-                        for stack in stacks
                     ],
                 )
 
             if host_tables is not None:
                 round_poly = host_tables.round_sums(degree)
-            elif use_pallas:
-                totals = [0] * (degree + 1)
-                for stack in stacks:
-                    k = stack.shape[0]
-                    if degree == 1 and k == 1:
-                        # no-multiplication path: half sums in plain XLA
-                        raw = K._half_sums_relaxed(field, stack)
-                    else:
-                        raw = K._round_sums_pallas(field, degree, k, size, stack)
-                    part = K.decode_relaxed_sums(field, raw)
-                    totals = [field.add(a, b) for a, b in zip(totals, part)]
-                round_poly = totals
             else:
                 sums = _round_sums_kernel(field, degree, terms)  # (D+1, L)
                 round_poly = dev.decode_ints(field, sums.T)
@@ -225,13 +254,6 @@ class SumcheckProver:
 
             if host_tables is not None:
                 host_tables = host_tables.fold(challenge)
-            elif use_pallas:
-                r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(
-                    field.n_limbs, 1
-                )
-                stacks = [
-                    K._fold_pallas(field, s.shape[0], size, s, r) for s in stacks
-                ]
             else:
                 r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(
                     field.n_limbs, 1

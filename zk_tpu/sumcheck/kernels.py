@@ -138,6 +138,20 @@ def _fold_pallas(field: Field, k: int, n: int, tables, r):
     )(tables, tables, r)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _fold_then_sums(field: Field, degree: int, k: int, n: int, stack, r):
+    """One dispatch per round: fold the (k, L, n) stack at the previous
+    challenge, then compute the next round's sums on the folded table.
+    Halves the per-round host<->device round-trips (the device_get of the
+    sums is the only mandatory Fiat-Shamir sync point)."""
+    folded = _fold_pallas(field, k, n, stack, r)
+    if degree == 1 and k == 1:
+        raw = _half_sums_relaxed(field, folded)
+    else:
+        raw = _round_sums_pallas(field, degree, k, n // 2, folded)
+    return folded, raw
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _half_sums_relaxed(field: Field, stack):
     """Degree-1 single-factor round sums: p(0) = sum(left half), p(1) =
