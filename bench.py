@@ -45,10 +45,17 @@ def main():
     from zk_tpu.sumcheck import SumcheckProver
     from zk_tpu.utils import sumcheck_prover_mults
 
-    rng = np.random.default_rng(7)
-    raw = rng.integers(0, 1 << 16, (FR.n_limbs, 1 << n), dtype=np.uint32)
-    raw[FR.n_limbs - 1] &= 0x1FFF  # < 2^253 < p
-    poly = MLE(FR, n, jnp.asarray(raw))
+    # generate the table ON DEVICE (a 2^26 table is 4 GiB — host->device
+    # transfer would dominate); random 16-bit limbs with the top 3 bits of
+    # the high limb cleared are valid field elements (< 2^253 < p)
+    @jax.jit
+    def make_table(key):
+        bits = jax.random.bits(key, (FR.n_limbs, 1 << n), dtype=jnp.uint32)
+        limbs = bits & jnp.uint32(0xFFFF)
+        return limbs.at[FR.n_limbs - 1].set(limbs[FR.n_limbs - 1] & jnp.uint32(0x1FFF))
+
+    log(f"generating 2^{n} table on device ...")
+    poly = MLE(FR, n, make_table(jax.random.key(7)))
     pp = ProductPoly([poly])
 
     log(f"computing claimed sum for n={n} ...")

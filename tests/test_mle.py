@@ -142,3 +142,24 @@ def test_sum_of_products():
         )
     ]
     assert got == want_tbl
+
+
+def test_pairing_index_parity():
+    # ported from pairing_index.rs:28-98
+    from zk_tpu.poly.pairing_index import index_pair, insert_bit, mask
+
+    val = 0b10101
+    assert insert_bit(val, 0, 0) == 0b101010
+    assert insert_bit(val, 0, 1) == 0b101011
+    assert insert_bit(val, 5, 0) == 0b010101
+    assert insert_bit(val, 5, 1) == 0b110101
+    assert insert_bit(0b10, 1, 0) == 0b100
+    assert insert_bit(0b10, 1, 1) == 0b110
+    assert mask(1) == 0b1 and mask(3) == 0b111
+
+    assert list(index_pair(3, 0)) == [(0, 4), (1, 5), (2, 6), (3, 7)]
+    assert list(index_pair(3, 1)) == [(0, 2), (1, 3), (4, 6), (5, 7)]
+    assert list(index_pair(3, 2)) == [(0, 1), (2, 3), (4, 5), (6, 7)]
+    assert list(index_pair(2, 0)) == [(0, 2), (1, 3)]
+    assert list(index_pair(2, 1)) == [(0, 1), (2, 3)]
+    assert list(index_pair(1, 0)) == [(0, 1)]

@@ -85,3 +85,20 @@ def test_four_step_matches_dft():
     # roundtrip through the 4-step inverse
     back = dev.decode_ints(f, intt_device(f, out))
     assert back == vals
+
+
+def test_ntt_with_root_parity():
+    # fft_internal semantics: same DFT given the standard root, and the
+    # ifft identity fft_internal(., w^-1) scaled by n^-1
+    from zk_tpu.ntt import ntt_with_root
+
+    f = F17
+    vals = [1, 5, 3, 2]
+    w = f.get_root_of_unity(4)
+    assert ntt_with_root(f, vals, w) == ntt(f, vals)
+    evals = ntt(f, vals)
+    n_inv = f.inv(4)
+    back = [f.mul(v, n_inv) for v in ntt_with_root(f, evals, f.inv(w))]
+    assert back == vals
+    with pytest.raises(ValueError):
+        ntt_with_root(f, vals, 2)  # 2 is not a primitive 4th root mod 17

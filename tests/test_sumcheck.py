@@ -148,3 +148,17 @@ def test_tier_equivalence_sum_of_products():
     assert ph.round_polys == pj.round_polys
     subclaim = SumcheckVerifier.verify_partial(F17, ph)
     assert sp.evaluate(subclaim.challenges) == subclaim.sum
+
+
+def test_proof_serialization_roundtrip():
+    from zk_tpu.sumcheck import proof_from_bytes, proof_to_bytes
+
+    prod_poly = ProductPoly([p_2ab_3bc()])
+    proof = SumcheckProver.prove(prod_poly, 10, max_var_degree=1)
+    blob = proof_to_bytes(FR, proof)
+    back = proof_from_bytes(FR, blob)
+    assert back.sum == proof.sum
+    assert back.round_polys == proof.round_polys
+    assert SumcheckVerifier.verify(prod_poly, back)
+    with pytest.raises(ValueError):
+        proof_from_bytes(FR, blob + b"\x00")

@@ -82,3 +82,24 @@ def test_to_bytes():
     p = poly([1, 2])
     assert p.to_bytes() == F17.to_bytes_be(1) + F17.to_bytes_be(2)
     assert len(p.to_bytes()) == 16
+
+
+def test_trait_methods():
+    # ported from univariate_poly.rs:394-440 (test_univariate_polynomial_trait_methods)
+    p = UP.interpolate_xy(F17, [5, 7, 9, 1], [565, 1631, 3537, -7])
+    assert p.n_vars() == 1
+    assert p + UP.additive_identity(F17) == p
+    assert p.to_univariate() == p
+    assert p.evaluate_slice([5]) == 565 % 17
+    p_const = p.partial_evaluate_selectors([([True], 5)])
+    assert p_const == UP(F17, [565])
+    # partial evaluation on the constant poly returns the same constant
+    assert p_const.partial_evaluate_selectors([([True], 10)]) == p_const
+    # [False] selector is a no-op
+    assert p.partial_evaluate_selectors([([False], 3)]) == p
+    with pytest.raises(ValueError):
+        p.evaluate_slice([])
+    with pytest.raises(ValueError):
+        p.partial_evaluate_selectors([([True], 1), ([True], 2)])
+    with pytest.raises(ValueError):
+        p.partial_evaluate_selectors([([True, False], 1)])

@@ -197,6 +197,33 @@ fft = ntt
 ifft = intt
 
 
+@functools.lru_cache(maxsize=None)
+def _plan_for_root(field: Field, n: int, omega: int):
+    """Ladder plan for a caller-supplied primitive n-th root."""
+    logn = n.bit_length() - 1
+    stages = tuple(
+        jnp.asarray(_powers_mont(field, pow(omega, n >> s, field.p), (1 << s) // 2))
+        for s in range(1, logn + 1)
+    )
+    return jnp.asarray(_bit_reverse_perm(n)), stages
+
+
+def ntt_with_root(field: Field, values: list[int], omega: int) -> list[int]:
+    """``fft_internal`` parity (fft/src/lib.rs:21-46): the DFT with a
+    caller-supplied root of unity (the reference exposes this to build
+    ifft from fft; here it also enables coset transforms)."""
+    n = len(values)
+    if n == 1:
+        return [v % field.p for v in values]
+    if n & (n - 1):
+        raise ValueError("values must be a power of 2")
+    if pow(omega, n, field.p) != 1 or pow(omega, n // 2, field.p) == 1:
+        raise ValueError("omega must be a primitive n-th root of unity")
+    perm, stages = _plan_for_root(field, n, omega % field.p)
+    out = _ntt_ladder(field, dev.encode_ints(field, values), perm, stages, None)
+    return dev.decode_ints(field, out)
+
+
 def host_dft(field: Field, values: list[int], inverse: bool = False) -> list[int]:
     """O(n^2) reference DFT in exact host ints — the differential oracle
     for kernel tests (matches fft_internal's output by the DFT definition)."""

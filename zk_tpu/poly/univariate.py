@@ -116,3 +116,36 @@ class UnivariatePolynomial:
     def to_bytes(self) -> bytes:
         """Concat of canonical BE coefficient bytes (univariate_poly.rs:144-150)."""
         return self.field.elements_to_bytes(self.coefficients)
+
+    # ------------------------------------------- Polynomial-trait parity
+    # (univariate_poly.rs:102-155)
+
+    def n_vars(self) -> int:
+        return 1
+
+    def evaluate_slice(self, assignments: list[int]) -> int:
+        """univariate_poly.rs:106-111."""
+        if not assignments:
+            raise ValueError("empty assignment, cannot evaluate univariate polynomial")
+        return self.evaluate(assignments[0])
+
+    def partial_evaluate_selectors(self, assignments) -> "UnivariatePolynomial":
+        """Selector-based partial evaluation (univariate_poly.rs:113-135):
+        a [True] selector collapses to the constant poly, [False] is a
+        no-op clone."""
+        if len(assignments) != 1:
+            raise ValueError(
+                "cannot partially evaluate a univariate polynomial at more than 1 variable"
+            )
+        selector, value = assignments[0]
+        if len(selector) != 1:
+            raise ValueError("partial evaluation selector should point to only 1 variable")
+        if selector[0]:
+            return UnivariatePolynomial(self.field, [self.evaluate(value)])
+        return UnivariatePolynomial(self.field, list(self.coefficients))
+
+    def relabel(self) -> "UnivariatePolynomial":
+        return self
+
+    def to_univariate(self) -> "UnivariatePolynomial":
+        return UnivariatePolynomial(self.field, list(self.coefficients))

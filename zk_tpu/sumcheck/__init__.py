@@ -272,6 +272,39 @@ class SumcheckProver:
 # --------------------------------------------------------------------------
 
 
+def proof_to_bytes(field: Field, proof: SumcheckProof) -> bytes:
+    """Canonical proof serialization (the reference derives
+    CanonicalSerialize on its types; layout here: u32 round count, sum,
+    then per round u32 eval count + canonical BE elements)."""
+    out = bytearray()
+    out += len(proof.round_polys).to_bytes(4, "big")
+    out += field.to_bytes_be(proof.sum)
+    for rp in proof.round_polys:
+        out += len(rp).to_bytes(4, "big")
+        out += field.elements_to_bytes(rp)
+    return bytes(out)
+
+
+def proof_from_bytes(field: Field, data: bytes) -> SumcheckProof:
+    off = 0
+    n_rounds = int.from_bytes(data[off : off + 4], "big")
+    off += 4
+    s = field.from_be_bytes_mod_order(data[off : off + field.n_bytes])
+    off += field.n_bytes
+    round_polys = []
+    for _ in range(n_rounds):
+        cnt = int.from_bytes(data[off : off + 4], "big")
+        off += 4
+        rp = []
+        for _ in range(cnt):
+            rp.append(field.from_be_bytes_mod_order(data[off : off + field.n_bytes]))
+            off += field.n_bytes
+        round_polys.append(rp)
+    if off != len(data):
+        raise ValueError("trailing bytes in serialized proof")
+    return SumcheckProof(sum=s, round_polys=round_polys)
+
+
 class SumcheckVerifier:
     """sumcheck/src/verifier.rs:9-79.  Interpolation and round checks are
     exact host-int math (tiny, O(n d^3))."""
