@@ -197,7 +197,7 @@ class SumcheckProver:
                 return K._round_sums_pallas(field, degree, k, n, stack)
 
             raws = [sums_only(s, size) for s in stacks]
-            while size > tail:
+            while size > tail and len(challenges) < n_vars:
                 round_poly = decode_round(raws)
                 transcript.append(field.elements_to_bytes(round_poly))
                 challenge = transcript.sample_field_element(field)
