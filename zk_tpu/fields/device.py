@@ -88,19 +88,25 @@ def encode_ints(field: Field, values, mont: bool = True) -> jnp.ndarray:
 
 
 def decode_ints(field: Field, arr, mont: bool = True) -> list[int]:
-    """Device limb tensor (L, N) -> list of canonical Python ints."""
-    a = np.asarray(jax.device_get(arr), dtype=np.uint64)
-    a = a.reshape(field.n_limbs, -1)
-    rinv = pow(field.R, -1, field.p)
-    out = []
-    for j in range(a.shape[1]):
-        v = 0
-        for i in reversed(range(field.n_limbs)):
-            v = (v << _B) | int(a[i, j])
-        if mont:
-            v = (v * rinv) % field.p
-        out.append(v % field.p)
-    return out
+    """Device limb tensor (L, N) -> list of canonical Python ints.
+
+    Vectorized: limbs -> per-element big-endian byte rows in numpy, then
+    one int.from_bytes per element (no per-limb Python loop)."""
+    a = np.asarray(jax.device_get(arr)).reshape(field.n_limbs, -1)
+    L = field.n_limbs
+    n = a.shape[1]
+    limbs = a.T.astype(np.uint16)  # (N, L), little-endian limb order
+    be = limbs[:, ::-1].astype(">u2").tobytes()  # per-element BE byte rows
+    w = 2 * L
+    if mont:
+        rinv = pow(field.R, -1, field.p)
+        p = field.p
+        return [
+            (int.from_bytes(be[j * w : (j + 1) * w], "big") * rinv) % p
+            for j in range(n)
+        ]
+    p = field.p
+    return [int.from_bytes(be[j * w : (j + 1) * w], "big") % p for j in range(n)]
 
 
 def decode_bytes_be(field: Field, arr, mont: bool = True) -> bytes:

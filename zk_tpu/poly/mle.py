@@ -50,6 +50,38 @@ def _fold_kernel(field: Field, n_vars: int, initial_var: int, k: int, data, rs):
     return x
 
 
+def _fold_var0_fast(field: Field, data, assignments: list[int]):
+    """TPU fast path for consecutive var-0 folds: a pipelined chain of
+    Pallas fold kernels (one async dispatch per fold, single final sync)
+    plus an exact host-int tail below the kernel threshold.  Returns the
+    folded (L, 2^(n-k)) tensor, or None to use the jnp ladder."""
+    from zk_tpu.fields.pallas_kernels import on_tpu
+    from zk_tpu.sumcheck import kernels as K
+
+    min_device = 256  # below this, host ints beat a kernel dispatch
+    n = data.shape[-1]
+    if not on_tpu() or n <= min_device:
+        return None
+    x = data[None]  # (1, L, n)
+    i = 0
+    while n > min_device and i < len(assignments):
+        r = jnp.asarray(dev.const_limbs(field, assignments[i])).reshape(
+            field.n_limbs, 1
+        )
+        x = K._fold_pallas(field, 1, n, x, r)
+        n //= 2
+        i += 1
+    if i == len(assignments):
+        return x[0]
+    # host tail: tiny table, exact ints (same values as the device fold)
+    vals = dev.decode_ints(field, x[0])
+    p = field.p
+    for a in assignments[i:]:
+        half = len(vals) // 2
+        vals = [(vals[e] - a * (vals[e] - vals[e + half])) % p for e in range(half)]
+    return dev.encode_ints(field, vals)
+
+
 class MLE:
     """MultiLinearPolynomial in dense evaluation form (device tier)."""
 
@@ -85,6 +117,10 @@ class MLE:
             return MLE(self.field, self.n_vars, self.data)
         if k > self.n_vars or initial_var >= self.n_vars:
             raise ValueError("partial evaluation out of range")
+        if initial_var == 0:
+            out = _fold_var0_fast(self.field, self.data, assignments)
+            if out is not None:
+                return MLE(self.field, self.n_vars - k, out)
         rs = jnp.stack(
             [jnp.asarray(dev.const_limbs(self.field, a)) for a in assignments]
         )
