@@ -1,0 +1,62 @@
+"""Scaling-efficiency harness: sharded sumcheck prover across mesh sizes.
+
+Reports prover wall time and relative efficiency at 1/2/4/.../N devices
+(the 1-chip / 1-host / N-host scaling numbers of BASELINE.json:2).  On
+this CI image the mesh is XLA's simulated host-platform device set; the
+identical code runs on a real ICI/DCN mesh — point JAX at the slice and
+rerun.
+
+Usage: python benches/scaling.py [n_vars] [field]
+"""
+
+import sys
+import time
+
+import jax
+
+from zk_tpu.fields import BLS12_381_FR, GOLDILOCKS
+from zk_tpu.parallel import ShardedSumcheckProver, make_mesh
+from zk_tpu.poly import MLE, ProductPoly
+from zk_tpu.sumcheck import SumcheckProver
+from zk_tpu.utils import sumcheck_prover_mults
+
+FIELDS = {"goldilocks": GOLDILOCKS, "bls12_381": BLS12_381_FR}
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    field = FIELDS[sys.argv[2]] if len(sys.argv) > 2 else GOLDILOCKS
+
+    import random
+
+    rng = random.Random(0)
+    evals = [rng.randrange(field.p) for _ in range(1 << n)]
+    poly = MLE.new(field, n, evals)
+    pp = ProductPoly([poly])
+    total = sum(evals) % field.p
+
+    # single-device reference
+    SumcheckProver.prove_partial(pp, total, max_var_degree=1)  # warm
+    t0 = time.time()
+    SumcheckProver.prove_partial(pp, total, max_var_degree=1)
+    t1 = time.time() - t0
+    print(f"1 device : {t1 * 1e3:8.1f} ms  (reference)")
+
+    n_dev = len(jax.devices())
+    d = 2
+    while d <= n_dev:
+        mesh = make_mesh(d)
+        ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=1)  # warm
+        t0 = time.time()
+        proof, _ = ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=1)
+        td = time.time() - t0
+        eff = t1 / (td * d)
+        print(f"{d} devices: {td * 1e3:8.1f} ms  efficiency {eff * 100:5.1f}%")
+        d *= 2
+
+    mults = sumcheck_prover_mults(n, 1, 1)
+    print(f"(analytic op count: {mults / 1e6:.1f} M field mults)")
+
+
+if __name__ == "__main__":
+    main()

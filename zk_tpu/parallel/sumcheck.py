@@ -33,10 +33,12 @@ from zk_tpu.transcript import Transcript
 AXIS = "x"
 
 
-def _round_sums_sharded(field: Field, degree: int, mesh: Mesh, terms3):
-    """terms3: list of (k, L, W, S) sharded arrays -> (degree+1, L) relaxed
-    limb accumulators (values < D * 2^16 per limb; exact host decode)."""
+@functools.lru_cache(maxsize=None)
+def _sums_fn(field: Field, degree: int, mesh: Mesh):
+    """Cached jitted shard_map round-sums kernel for one (field, degree,
+    mesh); shapes re-specialize under jit as tables shrink."""
 
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -67,16 +69,23 @@ def _round_sums_sharded(field: Field, degree: int, mesh: Mesh, terms3):
             outs.append(jax.lax.psum(local, AXIS))  # relaxed: < D * 2^16/limb
         return jnp.stack(outs)
 
+    return one_term
+
+
+def _round_sums_sharded(field: Field, degree: int, mesh: Mesh, terms3):
+    """terms3: list of (k, L, W, S) sharded arrays -> (degree+1, L) relaxed
+    limb accumulators (values < D * 2^16 per limb; exact host decode)."""
+    fn = _sums_fn(field, degree, mesh)
     total = None
     for t3 in terms3:
-        part = one_term(t3)
+        part = fn(t3)
         total = part if total is None else total + part  # still relaxed-exact
     return total
 
 
-def _fold_sharded(field: Field, mesh: Mesh, terms3, r):
-    """Fold every factor's W axis at challenge r; W halves, S untouched."""
-
+@functools.lru_cache(maxsize=None)
+def _fold_fn(field: Field, mesh: Mesh):
+    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -95,7 +104,13 @@ def _fold_sharded(field: Field, mesh: Mesh, terms3, r):
             )
         return jnp.stack(outs)
 
-    return [one_term(t3, r) for t3 in terms3]
+    return one_term
+
+
+def _fold_sharded(field: Field, mesh: Mesh, terms3, r):
+    """Fold every factor's W axis at challenge r; W halves, S untouched."""
+    fn = _fold_fn(field, mesh)
+    return [fn(t3, r) for t3 in terms3]
 
 
 def _decode_relaxed_vec(field: Field, arr) -> list[int]:
