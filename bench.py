@@ -42,6 +42,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # cache TPU kernel compiles across bench runs (cold-start dominated by
+    # per-size fold/round kernel compilation otherwise)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zk_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     log(f"devices: {jax.devices()}")
 
     from zk_tpu.fields import BLS12_381_FR as FR

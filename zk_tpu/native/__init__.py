@@ -45,6 +45,18 @@ def _load() -> ctypes.CDLL:
         ]
         lib.zk_keccak_digest.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.zk_keccak_finalize_reset.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.zk_keccak_export.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.zk_keccak_import.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
         _LIB = lib
         return lib
 
@@ -80,6 +92,23 @@ class NativeKeccak256:
         out = ctypes.create_string_buffer(32)
         self._lib.zk_keccak_finalize_reset(self._ctx, out)
         return out.raw
+
+    def export_state(self) -> tuple[list[int], bytes]:
+        """(25 lanes as ints, pending buffered bytes) — for migrating the
+        sponge to the device-resident transcript mid-proof."""
+        lanes = ctypes.create_string_buffer(200)
+        buf = ctypes.create_string_buffer(136)
+        n = ctypes.c_size_t(0)
+        self._lib.zk_keccak_export(self._ctx, lanes, buf, ctypes.byref(n))
+        raw = lanes.raw
+        return (
+            [int.from_bytes(raw[8 * i : 8 * i + 8], "little") for i in range(25)],
+            buf.raw[: n.value],
+        )
+
+    def import_state(self, lanes, buf: bytes) -> None:
+        raw = b"".join(int(l).to_bytes(8, "little") for l in lanes)
+        self._lib.zk_keccak_import(self._ctx, raw, bytes(buf), len(buf))
 
 
 # build eagerly so `from zk_tpu.native import NativeKeccak256` fails fast

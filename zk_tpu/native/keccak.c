@@ -139,3 +139,23 @@ void zk_keccak_finalize_reset(void *p, uint8_t *out32) {
   zk_keccak_digest(p, out32);
   zk_keccak_reset(p);
 }
+
+/* State export/import: lets the Fiat-Shamir transcript migrate between
+ * the host hasher and the device-resident (XLA) sponge mid-proof.
+ * lanes200: 25 lanes as little-endian u64s; buf136 + len: pending bytes. */
+void zk_keccak_export(const void *p, uint8_t *lanes200, uint8_t *buf136,
+                      size_t *len) {
+  const keccak_ctx *ctx = (const keccak_ctx *)p;
+  memcpy(lanes200, ctx->lanes, 200);
+  memcpy(buf136, ctx->buf, ctx->buf_len);
+  *len = ctx->buf_len;
+}
+
+void zk_keccak_import(void *p, const uint8_t *lanes200, const uint8_t *buf,
+                      size_t len) {
+  keccak_ctx *ctx = (keccak_ctx *)p;
+  memcpy(ctx->lanes, lanes200, 200);
+  if (len > RATE) len = RATE;
+  memcpy(ctx->buf, buf, len);
+  ctx->buf_len = len;
+}

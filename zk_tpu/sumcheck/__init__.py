@@ -132,26 +132,34 @@ class SumcheckProver:
 
     @staticmethod
     def prove(
-        poly, sum: int, max_var_degree: int | None = None, tail_size: int | None = None
+        poly,
+        sum: int,
+        max_var_degree: int | None = None,
+        tail_size: int | None = None,
+        device_transcript: bool | None = None,
     ) -> SumcheckProof:
         """Prove, binding the initial poly bytes into the transcript
         (prover.rs:15-20)."""
         transcript = Transcript()
         transcript.append(poly.to_bytes())
         proof, _ = SumcheckProver._prove_internal(
-            poly, sum, transcript, max_var_degree, tail_size
+            poly, sum, transcript, max_var_degree, tail_size, device_transcript
         )
         return proof
 
     @staticmethod
     def prove_partial(
-        poly, sum: int, max_var_degree: int | None = None, tail_size: int | None = None
+        poly,
+        sum: int,
+        max_var_degree: int | None = None,
+        tail_size: int | None = None,
+        device_transcript: bool | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
         """Prove without binding the initial poly — the GKR hook
         (prover.rs:24-30); returns (proof, challenges)."""
         transcript = Transcript()
         return SumcheckProver._prove_internal(
-            poly, sum, transcript, max_var_degree, tail_size
+            poly, sum, transcript, max_var_degree, tail_size, device_transcript
         )
 
     @staticmethod
@@ -161,6 +169,7 @@ class SumcheckProver:
         transcript: Transcript,
         max_var_degree: int | None = None,
         tail_size: int | None = None,
+        device_transcript: bool | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
         """prover.rs:33-69 round loop across the three execution tiers."""
         from zk_tpu.sumcheck import kernels as K
@@ -177,8 +186,74 @@ class SumcheckProver:
         size = 1 << n_vars
         use_pallas = on_tpu()
         terms = _poly_to_tables(poly)
+        if device_transcript is None:
+            # default ON where it pays: the axon-tunneled TPU, where each
+            # per-round Fiat-Shamir sync is a network round trip
+            device_transcript = use_pallas and field.p > (1 << 32)
 
-        if use_pallas and size > tail:
+        if device_transcript and field.p > (1 << 32) and size > tail and n_vars > 0:
+            # -- device-resident Fiat-Shamir: the whole round loop is an
+            # async dispatch chain; ONE device_get at the end pulls every
+            # round poly + challenge (and the sponge state for the tail).
+            from zk_tpu.sumcheck import kernels as K
+            from zk_tpu.transcript import device as tdev
+
+            lanes, pend = transcript.export_state()
+            lo, hi, buf = tdev.state_to_device(lanes, pend)[:3]
+            pos = len(pend)
+            stacks = [jnp.stack(term) for term in terms]
+            norms = [
+                K._sums_norm(field, degree, s.shape[0], size, s, use_pallas)
+                for s in stacks
+            ]
+            sums_dev, chall_dev = [], []
+            while size > tail and len(sums_dev) < n_vars:
+                lo, hi, buf, total, ch_canon, ch_mont = K._transcript_round(
+                    field, degree, pos, lo, hi, buf, tuple(norms)
+                )
+                pos = 32
+                sums_dev.append(total)
+                chall_dev.append(ch_canon)
+                if len(sums_dev) < n_vars:
+                    if size // 2 > tail:
+                        pairs = [
+                            K._fold_then_norm(
+                                field, degree, s.shape[0], size, s, ch_mont, use_pallas
+                            )
+                            for s in stacks
+                        ]
+                        stacks = [p[0] for p in pairs]
+                        norms = [p[1] for p in pairs]
+                    else:
+                        stacks = [
+                            K._fold_stack(
+                                field, s.shape[0], size, s, ch_mont, use_pallas
+                            )
+                            for s in stacks
+                        ]
+                size //= 2
+
+            # single sync point: round data (+ tail state) back to host
+            got_sums, got_chs = jax.device_get((sums_dev, chall_dev))
+            for total, ch in zip(got_sums, got_chs):
+                round_polys.append(dev.decode_ints(field, total, mont=False))
+                challenges.append(dev.decode_ints(field, ch, mont=False)[0])
+            if len(challenges) < n_vars:
+                lanes, pend = tdev.state_to_host(lo, hi, buf, pos)
+                transcript.import_state(lanes, pend)
+                host_tables = K.HostTables(
+                    field,
+                    [
+                        [
+                            dev.decode_ints(field, stack[t_i])
+                            for t_i in range(stack.shape[0])
+                        ]
+                        for stack in stacks
+                    ],
+                )
+            else:
+                return SumcheckProof(sum=sum, round_polys=round_polys), challenges
+        elif use_pallas and size > tail:
             # device rounds with ONE fused fold+sums dispatch per round;
             # the sums device_get is the only per-round sync point
             stacks = [jnp.stack(term) for term in terms]

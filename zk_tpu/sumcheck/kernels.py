@@ -35,6 +35,10 @@ from zk_tpu.fields import limb_math as lm
 from zk_tpu.fields.field import Field, LIMB_BITS
 from zk_tpu.fields.pallas_kernels import on_tpu
 
+U32 = jnp.uint32
+_MASK = np.uint32((1 << LIMB_BITS) - 1)
+_B = LIMB_BITS
+
 TAIL_SIZE = 2048  # tables at/below this size finish on host ints
 BLOCK = 1024
 MAX_GRID = 1 << 15  # relaxed vector-accumulation overflow guard (2^16 * 2^15 < 2^32)
@@ -187,6 +191,166 @@ def decode_relaxed_sums(field: Field, sums) -> list[int]:
             v += int(limb) << (LIMB_BITS * i)
         out.append((v * rinv) % field.p)
     return out
+
+
+# --------------------------------------------------------------------------
+# device-transcript tier: normalized relaxed sums + fused Fiat-Shamir round
+# --------------------------------------------------------------------------
+#
+# To keep the whole prover an async dispatch chain (no per-round host
+# sync), every sums kernel is normalized to ONE shape — (D+1, L+1) uint32
+# relaxed limbs whose value is the raw sum of Montgomery representatives —
+# so the transcript graph (_transcript_round) compiles once per
+# (field, degree, terms, pos), not once per table size.
+
+_PALLAS_MIN = 2048  # below this, jnp graphs beat tiny pallas launches
+
+
+def _norm_block(raw):
+    """(D+1, L, block) relaxed accumulators (< 2^31) -> (D+1, L+1).
+
+    lo/hi split keeps every uint32 sum exact: lo < 2^16 summed over
+    <= 1024 lanes < 2^26; hi < 2^15 -> < 2^25.  hi carries weight 2^16,
+    i.e. limb position +1."""
+    lo = jnp.sum(raw & _MASK, axis=-1, dtype=U32)  # (D+1, L)
+    hi = jnp.sum(raw >> _B, axis=-1, dtype=U32)
+    D1, L = lo.shape
+    return jnp.zeros((D1, L + 1), U32).at[:, :L].add(lo).at[:, 1:].add(hi)
+
+
+def _norm_chunks(raw):
+    """(2, L, c) chunk sums (< 2^26) -> (2, L+1).  lo < 2^16 over c <= 2^15
+    chunks < 2^31; hi < 2^10 -> < 2^25.  Bounds tables to n <= 2^26/chip
+    (matches MAX_GRID's reach)."""
+    assert raw.shape[-1] <= 1 << 15
+    lo = jnp.sum(raw & _MASK, axis=-1, dtype=U32)
+    hi = jnp.sum(raw >> _B, axis=-1, dtype=U32)
+    D1, L = lo.shape
+    return jnp.zeros((D1, L + 1), U32).at[:, :L].add(lo).at[:, 1:].add(hi)
+
+
+def _sums_jnp_stack(field: Field, degree: int, stack):
+    """XLA (non-pallas) round sums on a (k, L, n) stack -> (D+1, L)
+    proper Montgomery sums (same math as zk_tpu.sumcheck._round_sums_kernel)."""
+    k, L, n = stack.shape
+    half = n // 2
+    facs = [stack[t] for t in range(k)]
+    out = []
+    for i in range(degree + 1):
+        if i >= 2:
+            r_i = jnp.asarray(dev.const_limbs(field, i)).reshape(L, 1)
+        prod = None
+        for fac in facs:
+            left, right = fac[:, :half], fac[:, half:]
+            if i == 0:
+                ev = left
+            elif i == 1:
+                ev = right
+            else:
+                ev = dev.lerp(field, left, right, r_i)
+            prod = ev if prod is None else dev.mont_mul(field, prod, ev)
+        out.append(dev.sum_mod(field, prod, axis=-1))
+    return jnp.stack(out)  # (D+1, L)
+
+
+def _sums_norm_inner(field: Field, degree: int, k: int, n: int, stack, use_pallas: bool):
+    if degree == 1 and k == 1:
+        return _norm_chunks(_half_sums_relaxed(field, stack))
+    if use_pallas and n >= _PALLAS_MIN:
+        return _norm_block(_round_sums_pallas(field, degree, k, n, stack))
+    mont = _sums_jnp_stack(field, degree, stack)  # (D+1, L) proper
+    return jnp.concatenate([mont, jnp.zeros((degree + 1, 1), U32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5))
+def _sums_norm(field: Field, degree: int, k: int, n: int, stack, use_pallas: bool):
+    """Round-poly sums of a (k, L, n) stack as (D+1, L+1) relaxed limbs."""
+    return _sums_norm_inner(field, degree, k, n, stack, use_pallas)
+
+
+def _fold_stack_inner(field: Field, k: int, n: int, stack, r, use_pallas: bool):
+    if use_pallas and n >= _PALLAS_MIN:
+        return _fold_pallas(field, k, n, stack, r)
+    half = n // 2
+    return jnp.stack(
+        [
+            dev.lerp(field, stack[t][:, :half], stack[t][:, half:], r)
+            for t in range(k)
+        ]
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5), donate_argnums=(3,))
+def _fold_stack(field: Field, k: int, n: int, stack, r, use_pallas: bool):
+    return _fold_stack_inner(field, k, n, stack, r, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 6), donate_argnums=(4,))
+def _fold_then_norm(
+    field: Field, degree: int, k: int, n: int, stack, r, use_pallas: bool
+):
+    """One dispatch: fold the (k, L, n) stack at the challenge, then the
+    next round's normalized sums on the folded table.  The input stack is
+    donated — it is dead after the fold, and without donation the async
+    dispatch chain keeps every round's table alive at once (2x the HBM
+    high-water mark on big tables)."""
+    folded = _fold_stack_inner(field, k, n, stack, r, use_pallas)
+    return folded, _sums_norm_inner(field, degree, k, n // 2, folded, use_pallas)
+
+
+@functools.lru_cache(maxsize=None)
+def _limb_weight_consts(field: Field) -> np.ndarray:
+    """(L, L+1): column j = canonical limbs of 2^(16 j) mod p.  With
+    mont_mul, limb j of a relaxed accumulator contributes
+    a_j * 2^(16 j) * R^-1 — summing un-scales the Montgomery factor of
+    the accumulated representatives in the same pass."""
+    L = field.n_limbs
+    out = np.zeros((L, L + 1), dtype=np.uint32)
+    for j in range(L + 1):
+        out[:, j] = lm.np_limbs(pow(2, LIMB_BITS * j, field.p), L)
+    return out
+
+
+def _canon_sums(field: Field, norm):
+    """(C, L+1) relaxed uint32 limbs (value = sum of Montgomery reps) ->
+    (L, C) canonical true sums.  Each relaxed limb (< 2^32) becomes a
+    2-limb field element; one batched mont_mul against the 2^(16 j)
+    weights both positions it and divides by R.  Requires p > 2^32."""
+    assert field.p > (1 << 32)
+    C, L1 = norm.shape
+    L = field.n_limbs
+    a = (
+        jnp.zeros((L, C, L1), U32)
+        .at[0]
+        .set(norm & _MASK)
+        .at[1]
+        .set(norm >> _B)
+    )
+    w = jnp.asarray(_limb_weight_consts(field))[:, None, :]  # (L, 1, L+1)
+    prods = dev.mont_mul(field, a, w)  # (L, C, L+1)
+    return dev.sum_mod(field, prods, axis=-1)  # (L, C) canonical
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _transcript_round(field: Field, degree: int, pos: int, lo, hi, buf, norms):
+    """The per-round Fiat-Shamir step, entirely on device: canonicalize
+    the round-poly sums, absorb their BE bytes, squeeze the challenge
+    (prover.rs:59-62 semantics, byte-exact vs the host Transcript).
+
+    Returns (lo, hi, buf, round_sums (L, D+1) canonical, challenge
+    canonical (L, 1), challenge Montgomery (L, 1)).  New pos is always 32
+    (finalize_reset re-absorbs the digest)."""
+    from zk_tpu.transcript import device as tdev
+
+    canons = [_canon_sums(field, nm) for nm in norms]
+    total = canons[0]
+    for c in canons[1:]:
+        total = dev.add_mod(field, total, c)
+    data = tdev.serialize_canonical(field, total)
+    lo, hi, buf, pos2 = tdev.absorb(lo, hi, buf, pos, data)
+    lo, hi, buf, _pos3, digest = tdev.sample_challenge(lo, hi, buf, pos2)
+    mont, canon = tdev.challenge_from_digest(field, digest)
+    return lo, hi, buf, total, canon, mont
 
 
 # --------------------------------------------------------------------------

@@ -45,3 +45,14 @@ class Transcript:
 
     def sample_n_field_elements(self, field: Field, n: int) -> list[int]:
         return [self.sample_field_element(field) for _ in range(n)]
+
+    def export_state(self) -> tuple[list[int], bytes]:
+        """(25 sponge lanes, pending buffered bytes) — hands the running
+        hash to the device-resident transcript (zk_tpu.transcript.device)
+        so the prover's Fiat-Shamir loop can stay on-device."""
+        return self._hasher.export_state()
+
+    def import_state(self, lanes, buf: bytes) -> None:
+        """Resume from a state exported by the device-resident transcript
+        (the host tail of a device-transcript proof)."""
+        self._hasher.import_state(lanes, buf)

@@ -107,6 +107,15 @@ class Keccak256:
         self._buf = bytearray()
         return out
 
+    def export_state(self) -> tuple[list[int], bytes]:
+        """(25 lanes, pending buffered bytes) — for migrating the sponge
+        to the device-resident transcript mid-proof."""
+        return list(self._lanes), bytes(self._buf)
+
+    def import_state(self, lanes, buf: bytes) -> None:
+        self._lanes = [int(l) & _MASK64 for l in lanes]
+        self._buf = bytearray(buf)
+
 
 def keccak256(data: bytes) -> bytes:
     return Keccak256().update(data).digest()
