@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -51,35 +53,36 @@ def _fold_kernel(field: Field, n_vars: int, initial_var: int, k: int, data, rs):
 
 
 def _fold_var0_fast(field: Field, data, assignments: list[int]):
-    """TPU fast path for consecutive var-0 folds: a pipelined chain of
-    Pallas fold kernels (one async dispatch per fold, single final sync)
-    plus an exact host-int tail below the kernel threshold.  Returns the
-    folded (L, 2^(n-k)) tensor, or None to use the jnp ladder."""
+    """TPU fast path for consecutive var-0 folds: ONE host->device upload
+    of all fold scalars, then a fully-async chain of fold kernels (Pallas
+    above the small-shape threshold, jnp below) with donated buffers and
+    no sync anywhere — the caller's eventual decode is the only
+    round-trip.  On the tunneled chip each avoided sync is ~25 ms.
+    Returns the folded (L, 2^(n-k)) tensor, or None for the jnp ladder.
+    """
     from zk_tpu.fields.pallas_kernels import on_tpu
     from zk_tpu.sumcheck import kernels as K
 
-    min_device = 256  # below this, host ints beat a kernel dispatch
     n = data.shape[-1]
-    if not on_tpu() or n <= min_device:
+    if not on_tpu() or n < 4:
         return None
-    x = data[None]  # (1, L, n)
+    L = field.n_limbs
+    rs = np.empty((len(assignments), L), dtype=np.uint32)
+    for i, a in enumerate(assignments):
+        rs[i] = dev.const_limbs(field, a)
+    rs_dev = jnp.asarray(rs)  # single upload
+    k = len(assignments)
+    x = data[None]  # (1, L, n) — fresh buffer, safe to donate down the chain
     i = 0
-    while n > min_device and i < len(assignments):
-        r = jnp.asarray(dev.const_limbs(field, assignments[i])).reshape(
-            field.n_limbs, 1
-        )
-        x = K._fold_pallas(field, 1, n, x, r)
+    while i < k and n >= K._PALLAS_MIN:
+        x = K._fold_stack(field, 1, n, x, rs_dev[i].reshape(L, 1), True)
         n //= 2
         i += 1
-    if i == len(assignments):
+    if i == k:
         return x[0]
-    # host tail: tiny table, exact ints (same values as the device fold)
-    vals = dev.decode_ints(field, x[0])
-    p = field.p
-    for a in assignments[i:]:
-        half = len(vals) // 2
-        vals = [(vals[e] - a * (vals[e] - vals[e + half])) % p for e in range(half)]
-    return dev.encode_ints(field, vals)
+    # remaining small folds: ONE jitted reshape+lerp ladder dispatch
+    n_vars = n.bit_length() - 1
+    return _fold_kernel(field, n_vars, 0, k - i, x[0], rs_dev[i:])
 
 
 class MLE:
