@@ -38,16 +38,22 @@ def main():
         )
 
     data = make(jax.random.key(0))
-    # warm
+
+    # block_until_ready does not actually block through the axon tunnel;
+    # a tiny D2H read is the only reliable completion barrier
+    def sync(a):
+        return jax.device_get(a[:, :1])
+
+    # warm (also compiles the sync slice)
     out = intt_device(field, ntt_device(field, data))
-    jax.block_until_ready(out)
+    sync(out)
     assert bool(jnp.array_equal(out, data)), "roundtrip mismatch"
 
     best = float("inf")
     for _ in range(5):
         t0 = time.time()
         out = intt_device(field, ntt_device(field, data))
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, time.time() - t0)
     mults = 2 * (n // 2) * log_n  # fwd + inv transforms
     print(

@@ -87,3 +87,28 @@ def test_sharded_bls_field():
     proof_s, _ = ShardedSumcheckProver.prove_partial(mesh, pp, total, max_var_degree=1)
     proof_1, _ = SumcheckProver.prove_partial(pp, total, max_var_degree=1)
     assert proof_s.round_polys == proof_1.round_polys
+
+
+def test_sharded_device_transcript_bit_exact():
+    """Device-resident Fiat-Shamir over the mesh: the psum'd sums feed the
+    on-device sponge, challenges never leave the device — proof bytes must
+    equal the single-chip host tier's (incl. the gathered host tail)."""
+    mesh = make_mesh(8)
+    for field, n_vars, k in ((GOLDILOCKS, 7, 1), (FR, 6, 2)):
+        polys = [_random_mle(field, n_vars, 40 + n_vars + i) for i in range(k)]
+        pp = ProductPoly(polys)
+        total = 0
+        cols = zip(*(p.evaluation_ints() for p in polys))
+        for vals in cols:
+            prod = 1
+            for v in vals:
+                prod = field.mul(prod, v)
+            total = field.add(total, prod)
+        proof_s, ch_s = ShardedSumcheckProver.prove_partial(
+            mesh, pp, total, device_transcript=True
+        )
+        proof_1, ch_1 = SumcheckProver.prove_partial(
+            pp, total, device_transcript=False
+        )
+        assert proof_s.round_polys == proof_1.round_polys
+        assert ch_s == ch_1

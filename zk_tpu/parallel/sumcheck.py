@@ -132,21 +132,29 @@ class ShardedSumcheckProver:
 
     @staticmethod
     def prove_partial(
-        mesh: Mesh, poly, sum: int, max_var_degree: int | None = None
+        mesh: Mesh,
+        poly,
+        sum: int,
+        max_var_degree: int | None = None,
+        device_transcript: bool | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
         transcript = Transcript()
         return ShardedSumcheckProver._prove_internal(
-            mesh, poly, sum, transcript, max_var_degree
+            mesh, poly, sum, transcript, max_var_degree, device_transcript
         )
 
     @staticmethod
     def prove(
-        mesh: Mesh, poly, sum: int, max_var_degree: int | None = None
+        mesh: Mesh,
+        poly,
+        sum: int,
+        max_var_degree: int | None = None,
+        device_transcript: bool | None = None,
     ) -> SumcheckProof:
         transcript = Transcript()
         transcript.append(poly.to_bytes())
         proof, _ = ShardedSumcheckProver._prove_internal(
-            mesh, poly, sum, transcript, max_var_degree
+            mesh, poly, sum, transcript, max_var_degree, device_transcript
         )
         return proof
 
@@ -157,15 +165,27 @@ class ShardedSumcheckProver:
         sum: int,
         transcript: Transcript,
         max_var_degree: int | None = None,
+        device_transcript: bool | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
         field: Field = poly.field
         degree = max_var_degree if max_var_degree is not None else poly.max_degree
         transcript.append(field.to_bytes_be(sum))
+        if device_transcript is None:
+            from zk_tpu.fields.pallas_kernels import on_tpu
+
+            device_transcript = on_tpu() and field.p > (1 << 32)
+        device_transcript = device_transcript and field.p > (1 << 32)
 
         n_vars = poly.n_vars
         n = 1 << n_vars
         d_mesh = mesh.devices.size
         L = field.n_limbs
+        if d_mesh & (d_mesh - 1):
+            # the sharded lane extent S = d_mesh * c must divide the
+            # power-of-two table; TPU slices are power-of-two meshes
+            raise ValueError(
+                f"sharded sumcheck requires a power-of-two mesh, got {d_mesh}"
+            )
 
         # choose the sharded lane extent S = D * C; keep W >= 2
         c = max(1, min(1024, n // (2 * d_mesh)))
@@ -186,18 +206,52 @@ class ShardedSumcheckProver:
         round_polys: list[list[int]] = []
         challenges: list[int] = []
 
-        for _ in range(n_vars):
-            if w <= 1:
-                break
-            relaxed = _round_sums_sharded(field, degree, mesh, terms3)
-            round_poly = _decode_relaxed_vec(field, relaxed)
-            transcript.append(field.elements_to_bytes(round_poly))
-            challenge = transcript.sample_field_element(field)
-            r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(L, 1)
-            terms3 = _fold_sharded(field, mesh, terms3, r)
-            round_polys.append(round_poly)
-            challenges.append(challenge)
-            w //= 2
+        if device_transcript:
+            # device-resident Fiat-Shamir over the mesh: the psum'd
+            # (replicated) relaxed sums feed the on-device sponge, the
+            # challenge feeds the sharded fold — no per-round host sync;
+            # one device_get at the end (same pattern as the single-chip
+            # tier in zk_tpu.sumcheck).
+            from zk_tpu.sumcheck import kernels as K
+            from zk_tpu.transcript import device as tdev
+
+            rep = NamedSharding(mesh, P())
+            lanes, pend = transcript.export_state()
+            lo, hi, buf, pos = tdev.state_to_device(lanes, pend)
+            lo, hi, buf = (jax.device_put(a, rep) for a in (lo, hi, buf))
+            zcol = jnp.zeros((degree + 1, 1), jnp.uint32)
+            sums_dev, chall_dev = [], []
+            while w > 1 and len(sums_dev) < n_vars:
+                relaxed = _round_sums_sharded(field, degree, mesh, terms3)
+                norm = jnp.concatenate([relaxed, zcol], axis=1)  # (D+1, L+1)
+                lo, hi, buf, total, ch_canon, ch_mont = K._transcript_round(
+                    field, degree, pos, lo, hi, buf, (norm,)
+                )
+                pos = 32
+                sums_dev.append(total)
+                chall_dev.append(ch_canon)
+                terms3 = _fold_sharded(field, mesh, terms3, ch_mont)
+                w //= 2
+            got_sums, got_chs = jax.device_get((sums_dev, chall_dev))
+            for total, ch in zip(got_sums, got_chs):
+                round_polys.append(dev.decode_ints(field, total, mont=False))
+                challenges.append(dev.decode_ints(field, ch, mont=False)[0])
+            if len(challenges) < n_vars:
+                lanes, pend = tdev.state_to_host(lo, hi, buf, pos)
+                transcript.import_state(lanes, pend)
+        else:
+            for _ in range(n_vars):
+                if w <= 1:
+                    break
+                relaxed = _round_sums_sharded(field, degree, mesh, terms3)
+                round_poly = _decode_relaxed_vec(field, relaxed)
+                transcript.append(field.elements_to_bytes(round_poly))
+                challenge = transcript.sample_field_element(field)
+                r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(L, 1)
+                terms3 = _fold_sharded(field, mesh, terms3, r)
+                round_polys.append(round_poly)
+                challenges.append(challenge)
+                w //= 2
 
         # gather-to-host tail for the remaining log2(S) rounds
         remaining = n_vars - len(challenges)
