@@ -132,10 +132,39 @@ def _twiddle_table(field: Field, n1: int, n2: int, base_row):
     return rows.transpose(1, 0, 2)  # (L, n2, n1)
 
 
+def _ladder_axis2(field: Field, x, perm, stages, scale):
+    """DIT ladder transforming axis -2 of (L, n, B) Montgomery limbs.
+
+    TPU-friendly orientation: the batch axis B rides the 128-wide lane
+    dimension while butterfly slicing happens on a major axis, so every
+    stage is full-lane contiguous work (slicing the minor axis at widths
+    below a lane tile — what _ladder_body does for stage m < 256 — makes
+    XLA shuffle within lanes instead)."""
+    n = x.shape[-2]
+    x = jnp.take(x, perm, axis=-2)
+    for s, w in enumerate(stages, start=1):
+        m = 1 << s
+        xb = x.reshape(x.shape[:-2] + (n // m, m, x.shape[-1]))
+        e = xb[..., : m // 2, :]
+        o = xb[..., m // 2 :, :]
+        wb = w.reshape((w.shape[0],) + (1,) * (xb.ndim - 3) + (m // 2, 1))
+        t = dev.mont_mul(field, o, wb)
+        x = jnp.concatenate(
+            [dev.add_mod(field, e, t), dev.sub_mod(field, e, t)], axis=-2
+        ).reshape(x.shape)
+    if scale is not None:
+        x = dev.mont_mul(
+            field, x, scale.reshape((scale.shape[0],) + (1,) * (x.ndim - 1))
+        )
+    return x
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _four_step(field: Field, n1: int, n2: int, inverse: bool, data, p1, p2, twid):
-    """Bailey 4-step NTT: view (n1, n2) row-major; column DFTs (length n1),
-    twiddle w^(i2*k1), row DFTs (length n2), transpose out.
+    """Bailey 4-step NTT: view (n1, n2) row-major; column DFTs (length n1)
+    batched over the n2 lanes, twiddle w^(i2*k1), one transpose, row DFTs
+    (length n2) batched over the n1 lanes.  Output X[k2*n1 + k1] falls out
+    flat with no final transpose.
 
     On a single chip this bounds compile depth (the two ladders are small
     and shared); across a mesh the middle transpose becomes the
@@ -143,14 +172,141 @@ def _four_step(field: Field, n1: int, n2: int, inverse: bool, data, p1, p2, twid
     L = field.n_limbs
     perm1, stages1, scale1 = p1
     perm2, stages2, scale2 = p2
-    a = data.reshape(L, n1, n2).transpose(0, 2, 1)  # (L, n2, n1): [i2, i1]
-    y = _ladder_body(field, a, perm1, stages1, scale1)  # [i2, k1]
-    y = dev.mont_mul(field, y, twid)  # * w^(i2*k1)
-    z = _ladder_body(field, y.transpose(0, 2, 1), perm2, stages2, scale2)  # [k1, k2]
-    return z.transpose(0, 2, 1).reshape(L, n1 * n2)  # X[k2*n1 + k1]
+    a = data.reshape(L, n1, n2)  # [i1, i2], i2 on lanes
+    y = _ladder_axis2(field, a, perm1, stages1, scale1)  # [k1, i2]
+    y = dev.mont_mul(field, y, twid)  # * w^(i2*k1), twid is (L, n1, n2)
+    z = _ladder_axis2(
+        field, y.transpose(0, 2, 1), perm2, stages2, scale2
+    )  # (L, n2, n1): [k2, k1]
+    return z.reshape(L, n1 * n2)  # X[k2*n1 + k1]
+
+
+# ---------------------------------------------------------------------------
+# Pallas tier: the whole log2(n_t)-stage DIT ladder runs on one VMEM block
+# per grid step (batch on the 128-lane axis, butterflies on a major axis,
+# per-stage twiddles baked as kernel constants).  The jnp ladder above is
+# the CPU/verification path; this one is ~VPU-rate on TPU.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_twiddles(field: Field, n_t: int, inverse: bool):
+    """All per-stage Montgomery twiddle rows packed into one (L, n_t)
+    array (stage s at offset 2^(s-1) - ... = m/2, length m/2); passed to
+    the Pallas ladder as a broadcast VMEM input (Pallas kernels cannot
+    capture array constants)."""
+    L = field.n_limbs
+    omega = field.get_root_of_unity(n_t)
+    if inverse:
+        omega = field.inv(omega)
+    packed = np.zeros((L, n_t), dtype=np.uint32)
+    offsets = []
+    off = 0
+    for s in range(1, n_t.bit_length()):
+        m = 1 << s
+        row = _powers_mont(field, pow(omega, n_t // m, field.p), m // 2)
+        packed[:, off : off + m // 2] = row
+        offsets.append(off)
+        off += m // 2
+    return jnp.asarray(packed), tuple(offsets)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _ladder_pallas(field: Field, n_t: int, inverse: bool, x):
+    """(L, n_t, B) pre-bit-reversed Montgomery limbs -> DFT along axis -2.
+
+    Applies the n_t^-1 scale when inverse (so the 4-step's two ladders
+    compose to the full n^-1, matching _plan's split)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zk_tpu.fields import limb_math as lm
+
+    L = field.n_limbs
+    B = x.shape[-1]
+    bblk = 256  # Mosaic supports the in-kernel stage reshapes only at
+    # two-lane-tile minor blocks (empirical: (n_t<=128, bblk=256) OK;
+    # bblk=128 or n_t>=256 hit "Unsupported reshape")
+    twid, offsets = _packed_twiddles(field, n_t, inverse)
+    scale_const = (field.inv(n_t) * field.R) % field.p if inverse else None
+
+    def kernel(x_ref, tw_ref, o_ref):
+        cur = [x_ref[i] for i in range(L)]  # (n_t, bblk) each
+        for s, off in enumerate(offsets, start=1):
+            m = 1 << s
+            xb = [v.reshape(n_t // m, m, bblk) for v in cur]
+            e = [v[:, : m // 2, :] for v in xb]
+            o = [v[:, m // 2 :, :] for v in xb]
+            w = [tw_ref[i, off : off + m // 2].reshape(1, m // 2, 1) for i in range(L)]
+            t = lm.mont_mul(field, o, w)
+            lo_ = lm.add_mod(field, e, t)
+            hi_ = lm.sub_mod(field, e, t)
+            cur = [
+                jnp.concatenate([a, b], axis=1).reshape(n_t, bblk)
+                for a, b in zip(lo_, hi_)
+            ]
+        if scale_const is not None:
+            cur = lm.mont_mul_const(field, cur, scale_const)
+        for i in range(L):
+            o_ref[i] = cur[i]
+
+    spec = pl.BlockSpec((L, n_t, bblk), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((L, n_t), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n_t, B), jnp.uint32),
+        grid=(B // bblk,),
+        in_specs=[spec, tw_spec],
+        out_specs=spec,
+    )(x, twid)
+
+
+def _pallas_radix(field: Field) -> int:
+    """Largest ladder length Mosaic compiles for this limb count
+    (empirical envelope, see _ladder_pallas)."""
+    return 128 if field.n_limbs <= 8 else 64
+
+
+def _rec_axis2(field: Field, x, T: int, inverse: bool):
+    """Recursive Cooley-Tukey DFT along axis -2 of (L, T, B).
+
+    Radix-(<=128) splits T = t1 * t2: column ladders (Pallas, batch on
+    lanes), twiddle w_T^(k1*i2) (Pallas elementwise), one transpose,
+    recurse on t2.  Each ladder applies its own t^-1 scale for the
+    inverse, composing to the full T^-1 (same split as _plan).  Output
+    index X[k2*t1 + k1] falls out of the final reshape.  Values are
+    identical to _four_step / host_dft (differential-tested)."""
+    from zk_tpu.fields.pallas_kernels import mont_mul_pallas, on_tpu
+
+    L = field.n_limbs
+    B = x.shape[-1]
+    radix = _pallas_radix(field)
+    if T <= radix:
+        if on_tpu() and B % 256 == 0:
+            perm = jnp.asarray(_bit_reverse_perm(T))
+            return _ladder_pallas(field, T, inverse, jnp.take(x, perm, axis=-2))
+        return _ladder_axis2(field, x, *_plan(field, T, inverse))
+    t1 = radix
+    t2 = T // t1
+    a = x.reshape(L, t1, t2 * B)
+    y = _rec_axis2(field, a, t1, inverse)  # [k1, (i2, b)]
+    twid = _twiddle_table(field, t2, t1, _twiddle_base_row(field, T, t2, inverse))
+    flat = t1 * t2 * B
+    if on_tpu() and flat % 1024 == 0:
+        tw_full = jnp.broadcast_to(
+            twid[:, :, :, None], (L, t1, t2, B)
+        ).reshape(L, flat)
+        y = mont_mul_pallas(field, y.reshape(L, flat), tw_full)
+    else:
+        y = dev.mont_mul(field, y.reshape(L, t1, t2, B), twid[:, :, :, None])
+    z = y.reshape(L, t1, t2, B).transpose(0, 2, 1, 3).reshape(L, t2, t1 * B)
+    z = _rec_axis2(field, z, t2, inverse)  # [k2, (k1, b)]
+    return z.reshape(L, T, B)  # [(k2, k1), b] = X[k2*t1 + k1]
 
 
 def _transform_device(field: Field, data: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    from zk_tpu.fields.pallas_kernels import on_tpu
+
     n = data.shape[-1]
     if n & (n - 1):
         raise ValueError("values must be a power of 2")
@@ -159,12 +315,16 @@ def _transform_device(field: Field, data: jnp.ndarray, inverse: bool) -> jnp.nda
     if n <= _DIRECT_LADDER_MAX:
         perm, stages, scale = _plan(field, n, inverse)
         return _ntt_ladder(field, data, perm, stages, scale)
+    if on_tpu():
+        L = field.n_limbs
+        return _rec_axis2(field, data.reshape(L, n, 1), n, inverse).reshape(L, n)
     logn = n.bit_length() - 1
     n1 = 1 << (logn // 2)
     n2 = n // n1
+    # (L, n1, n2) table T[k1, i2] = w^(i2*k1): scan n1 rows of w^i2 powers
+    twid = _twiddle_table(field, n2, n1, _twiddle_base_row(field, n, n2, inverse))
     p1 = _plan(field, n1, inverse)
     p2 = _plan(field, n2, inverse)
-    twid = _twiddle_table(field, n1, n2, _twiddle_base_row(field, n, n1, inverse))
     return _four_step(field, n1, n2, inverse, data, p1, p2, twid)
 
 
