@@ -118,6 +118,93 @@ def test_gkr_wrong_inputs_rejected():
     assert GKRVerifier.verify(F17, c, [2, 3, 4, 6], proof) is False
 
 
+def random_circuit(rng, depth, width, n_inputs):
+    """Seeded random layered circuit (duplicate child wires likely, which
+    exercises the device scatter-accumulate path)."""
+    layers = []
+    below = n_inputs
+    for d in range(depth):
+        size = width if d < depth - 1 else max(1, width // 2)
+        layers.append(
+            [
+                Gate(
+                    "add" if rng.random() < 0.5 else "mul",
+                    rng.randrange(below),
+                    rng.randrange(below),
+                )
+                for _ in range(size)
+            ]
+        )
+        below = size
+    layers.reverse()
+    return Circuit(layers=layers, n_inputs=n_inputs)
+
+
+@pytest.mark.parametrize("field", [F17, FR], ids=lambda f: f.name)
+def test_gkr_libra_matches_dense(field):
+    """The linear-time two-phase prover must emit byte-identical proofs
+    to the dense (b, c)-table prover — the round polynomials are the
+    same function summed over the same remaining variables."""
+    import random
+
+    rng = random.Random(7)
+    c = random_circuit(rng, depth=3, width=8, n_inputs=8)
+    inputs = [rng.randrange(field.p) for _ in range(8)]
+    fast, _ = GKRProver.prove(field, c, inputs)
+    dense, _ = GKRProver.prove_dense(field, c, inputs)
+    assert fast == dense
+    assert GKRVerifier.verify(field, c, inputs, fast)
+
+
+def test_evaluate_device_matches_host():
+    import random
+
+    from zk_tpu.fields import GOLDILOCKS
+    from zk_tpu.fields import device as dev
+    from zk_tpu.gkr import device as gdev
+
+    rng = random.Random(3)
+    c = random_circuit(rng, depth=4, width=16, n_inputs=12)
+    inputs = [rng.randrange(GOLDILOCKS.p) for _ in range(12)]
+    host_levels = c.evaluate(GOLDILOCKS, inputs)
+    dev_levels = gdev.evaluate_device(c, GOLDILOCKS, inputs)
+    for hl, dl in zip(host_levels, dev_levels):
+        assert dev.decode_ints(GOLDILOCKS, dl) == hl
+
+
+def test_eq_table_matches_host():
+    import random
+
+    from zk_tpu.fields import device as dev
+    from zk_tpu.gkr import eq_weight
+    from zk_tpu.gkr.device import eq_table
+    from zk_tpu.poly.hypercube import binary_string
+
+    rng = random.Random(5)
+    point = [rng.randrange(F17.p) for _ in range(4)]
+    got = dev.decode_ints(F17, eq_table(F17, point))
+    want = [eq_weight(F17, point, binary_string(a, 4)) for a in range(16)]
+    assert got == want
+    assert dev.decode_ints(F17, eq_table(F17, [])) == [1]
+
+
+def test_wiring_eval_device_matches_host():
+    import random
+
+    from zk_tpu.gkr import _wiring_eval_host
+    from zk_tpu.gkr.device import wiring_eval
+
+    rng = random.Random(11)
+    c = random_circuit(rng, depth=2, width=8, n_inputs=8)
+    k_out, k_in = c.layer_k(0), c.layer_k(1)
+    r = [rng.randrange(F17.p) for _ in range(k_out)]
+    b = [rng.randrange(F17.p) for _ in range(k_in)]
+    cc = [rng.randrange(F17.p) for _ in range(k_in)]
+    add_d, mul_d = wiring_eval(F17, c, 0, r, b, cc)
+    assert add_d == _wiring_eval_host(F17, c, 0, "add", r + b + cc)
+    assert mul_d == _wiring_eval_host(F17, c, 0, "mul", r + b + cc)
+
+
 def test_gkr_unpadded_layer_sizes():
     # 3-gate layer (padded to 4) over 5 inputs (padded to 8)
     c = Circuit(

@@ -335,6 +335,25 @@ def _mont_reduce(field: Field, t):
     return _cond_sub_p(field, u[:L], extra_top=u[L])
 
 
+@_field_jit
+def renorm_relaxed(field: Field, x):
+    """Relaxed uint32 limb tensor -> proper Montgomery limbs mod p.
+
+    x holds a raw (carry-free) sum of up to 2^16 Montgomery
+    representatives — e.g. the output of a scatter-add building GKR
+    wiring tables — so each limb is < 2^32 and the value T < 2^16 * p
+    <= R * p.  One carry pass + one Montgomery reduction + one R^2
+    multiply restores canonical-Montgomery form (same bound argument as
+    sum_mod's group renorm).  Identity on already-proper inputs."""
+    limbs, carry = _carry_prop(x)
+    t = jnp.concatenate([limbs, carry[None]], axis=0)
+    canon = _mont_reduce(field, t)
+    r2 = scalar(field, (field.R * field.R) % field.p, mont=False)
+    return mont_mul(
+        field, canon, r2.reshape((field.n_limbs,) + (1,) * (canon.ndim - 1))
+    )
+
+
 # raw uint32 column sums of G limbs stay < G * 2^16; G = 256 keeps the
 # relaxed columns < 2^24 and the renorm bound T < G * p <= R * p for every
 # supported field (G <= R since L >= 1).

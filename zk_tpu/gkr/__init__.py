@@ -154,9 +154,95 @@ def _build_layer_tables(
 class GKRProver:
     @staticmethod
     def prove(
+        field: Field,
+        circuit: Circuit,
+        inputs: list[int],
+        tail_size: int | None = None,
+        device_transcript: bool | None = None,
+    ) -> tuple[GKRProof, list[jnp.ndarray]]:
+        """Prove circuit(inputs) = outputs; returns (proof, device wire
+        levels).  Linear-time prover: witness generation, wiring tables,
+        and W evaluations all run on device; each layer is two chained
+        k-round sumchecks over O(2^k)-size tables (zk_tpu.gkr.device)
+        whose round polynomials — and therefore the whole proof — are
+        byte-identical to the dense O(4^k) path (prove_dense)."""
+        from zk_tpu.gkr import device as gdev
+
+        levels = gdev.evaluate_device(circuit, field, inputs)
+        outputs = dev.decode_ints(field, levels[0])[: len(circuit.layers[0])]
+
+        transcript = Transcript()
+        transcript.append(field.elements_to_bytes(outputs))
+        r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
+        m = dev.decode_ints(field, gdev.mle_eval_points(field, levels[0], [r]))[0]
+
+        layer_proofs: list[LayerProof] = []
+        for i in range(circuit.depth):
+            k_in = circuit.layer_k(i + 1)
+            w_dev = levels[i + 1]
+            eq_r = gdev.eq_table(field, r)
+
+            # phase 1: sum over b of G1(b) W(b) + A2(b) — binds the claim
+            poly1 = gdev.build_phase1(field, circuit, i, eq_r, w_dev)
+            proof1, u = SumcheckProver._prove_internal(
+                poly1,
+                m,
+                transcript,
+                max_var_degree=2,
+                tail_size=tail_size,
+                device_transcript=device_transcript,
+            )
+            if proof1.round_polys:
+                last = UnivariatePolynomial.interpolate(field, proof1.round_polys[-1])
+                m2 = last.evaluate(u[-1])
+            else:
+                m2 = m
+
+            # phase 2: sum over c with b fixed at u (claim already bound)
+            poly2, _wu = gdev.build_phase2(field, circuit, i, eq_r, u, w_dev)
+            proof2, v = SumcheckProver._prove_internal(
+                poly2,
+                m2,
+                transcript,
+                max_var_degree=2,
+                tail_size=tail_size,
+                device_transcript=device_transcript,
+                bind_sum=False,
+            )
+            proof = SumcheckProof(
+                sum=m, round_polys=proof1.round_polys + proof2.round_polys
+            )
+            b_star, c_star = u, v
+
+            # W(b*), W(c*), and the line restriction q(t) = W~(b* + t(c*-b*))
+            # at t = 2..k_in: one batched device eval + one decode
+            pts = [b_star, c_star] + [
+                [(b + t * (c - b)) % field.p for b, c in zip(b_star, c_star)]
+                for t in range(2, k_in + 1)
+            ]
+            evals = dev.decode_ints(field, gdev.mle_eval_points(field, w_dev, pts))
+            w_b, w_c = evals[0], evals[1]
+            q_evals = [w_b, w_c] + evals[2:] if k_in >= 1 else [w_b]
+            transcript.append(field.elements_to_bytes([w_b, w_c]))
+            transcript.append(field.elements_to_bytes(q_evals))
+
+            r_star = transcript.sample_field_element(field)
+            r = [(b + r_star * (c - b)) % field.p for b, c in zip(b_star, c_star)]
+            q = UnivariatePolynomial.interpolate(field, q_evals)
+            m = q.evaluate(r_star)
+
+            layer_proofs.append(
+                LayerProof(sumcheck=proof, w_b=w_b, w_c=w_c, q_evals=q_evals)
+            )
+
+        return GKRProof(outputs=outputs, layer_proofs=layer_proofs), levels
+
+    @staticmethod
+    def prove_dense(
         field: Field, circuit: Circuit, inputs: list[int]
     ) -> tuple[GKRProof, list[list[int]]]:
-        """Prove circuit(inputs) = outputs; returns (proof, wire levels)."""
+        """The dense O(4^k)-per-layer prover over explicit (b, c) factor
+        tables — the differential oracle for `prove` (identical bytes)."""
         levels = circuit.evaluate(field, inputs)
         outputs = levels[0][: len(circuit.layers[0])]
 
@@ -243,9 +329,15 @@ class GKRVerifier:
             c_star = subclaim.challenges[k_in:]
             transcript.append(field.elements_to_bytes([lp.w_b, lp.w_c]))
 
-            # oracle check of the layer polynomial at (b*, c*)
-            add_e = _wiring_eval_host(field, circuit, i, ADD, r + b_star + c_star)
-            mul_e = _wiring_eval_host(field, circuit, i, "mul", r + b_star + c_star)
+            # oracle check of the layer polynomial at (b*, c*) — device
+            # eq-gather kernel for big layers, host eq-sum for small ones
+            if len(circuit.layers[i]) > 256:
+                from zk_tpu.gkr import device as gdev
+
+                add_e, mul_e = gdev.wiring_eval(field, circuit, i, r, b_star, c_star)
+            else:
+                add_e = _wiring_eval_host(field, circuit, i, ADD, r + b_star + c_star)
+                mul_e = _wiring_eval_host(field, circuit, i, "mul", r + b_star + c_star)
             expect = field.add(
                 field.mul(add_e, field.add(lp.w_b, lp.w_c)),
                 field.mul(mul_e, field.mul(lp.w_b, lp.w_c)),
@@ -267,8 +359,17 @@ class GKRVerifier:
             q = UnivariatePolynomial.interpolate(field, lp.q_evals)
             m = q.evaluate(r_star)
 
-        # final oracle check against the input MLE
+        # final oracle check against the input MLE (device fold for big
+        # input vectors, exact host ints for small ones)
         padded_inputs = [v % field.p for v in inputs] + [0] * (
             (1 << circuit.layer_k(circuit.depth)) - len(inputs)
         )
+        if len(padded_inputs) > 4096:
+            from zk_tpu.gkr import device as gdev
+
+            got = dev.decode_ints(
+                field,
+                gdev.mle_eval_points(field, dev.encode_ints(field, padded_inputs), [r]),
+            )[0]
+            return got == m
         return mle_eval_host(field, padded_inputs, r) == m

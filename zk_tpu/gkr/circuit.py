@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from zk_tpu.fields.field import Field
 
 ADD = "add"
@@ -54,6 +56,7 @@ class Circuit:
             raise ValueError("circuit must have at least one input")
         self.layers = layers
         self.n_inputs = n_inputs
+        self._wiring: dict[int, tuple] = {}
         # validate wiring
         for i, layer in enumerate(layers):
             below = len(layers[i + 1]) if i + 1 < len(layers) else n_inputs
@@ -76,6 +79,23 @@ class Circuit:
     def layer_k(self, i: int) -> int:
         """MLE variable count of level i (padded to power of two)."""
         return _k_for(self.layer_size(i))
+
+    def wiring(self, i: int) -> tuple:
+        """Cached numpy wiring arrays for layer i: (left, right, is_add,
+        add_idx, mul_idx) — the gate list flattened for device gathers and
+        scatters (gate a's output index is its list position a)."""
+        cached = self._wiring.get(i)
+        if cached is not None:
+            return cached
+        layer = self.layers[i]
+        left = np.array([g.left for g in layer], dtype=np.int32)
+        right = np.array([g.right for g in layer], dtype=np.int32)
+        is_add = np.array([g.op == ADD for g in layer], dtype=bool)
+        add_idx = np.nonzero(is_add)[0].astype(np.int32)
+        mul_idx = np.nonzero(~is_add)[0].astype(np.int32)
+        out = (left, right, is_add, add_idx, mul_idx)
+        self._wiring[i] = out
+        return out
 
     def evaluate(self, field: Field, inputs: list[int]) -> list[list[int]]:
         """Wire values per level, output level first; each vector padded

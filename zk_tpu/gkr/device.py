@@ -1,0 +1,292 @@
+"""Device tier for GKR: wiring tables, eq expansion, and the linear-time
+(Libra-style) two-phase layer decomposition.
+
+The dense formulation in zk_tpu.gkr builds (b, c) factor tables of size
+4^k per layer.  This module implements the standard linear-time GKR
+prover algorithm (Xie et al., "Libra"): the layer sum
+
+  sum_{b,c} add~(r,b,c) * (W(b) + W(c)) + mul~(r,b,c) * W(b) * W(c)
+
+is proven as two chained k-round sumchecks whose factor tables have size
+2^k and are built from the sparse wiring in O(gates) device scatters:
+
+  phase 1 (sum over b):   G1(b) * W(b) + A2(b)
+      G1(b) = sum_c add~(r,b,c) + sum_c mul~(r,b,c) W(c)
+      A2(b) = sum_c add~(r,b,c) W(c)
+  phase 2 (sum over c, b fixed at u):
+      add_u(c) * (W(u) + W(c)) + mul_u(c) * W(u) * W(c)
+      add_u(c) = add~(r,u,c),  mul_u(c) = mul~(r,u,c)
+
+Because a sumcheck round polynomial is the sum of the full polynomial
+over the remaining variables, the 2k round polynomials are *identical*
+to the dense path's — same Fiat-Shamir bytes, same proofs (differential
+test: tests/test_gkr.py) — only the prover cost drops from O(4^k) to
+O(2^k + gates) per layer.
+
+Everything here operates on (L, N) Montgomery limb tensors from
+zk_tpu.fields.device; scatters accumulate raw uint32 limb sums and are
+renormalized once per table (dev.renorm_relaxed), exact for up to 2^16
+gates sharing a wire.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zk_tpu.fields import device as dev
+from zk_tpu.fields.field import Field
+from zk_tpu.poly import MLE, ProductPoly, SumOfProducts
+from zk_tpu.poly.mle import _fold_kernel
+
+U32 = jnp.uint32
+
+
+# --------------------------------------------------------------------------
+# eq table + batched point evaluation
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _eq_expand(field: Field, k: int, rs):
+    """rs: (k, L) Montgomery scalars -> (L, 2^k) table of
+    eq(r, a) = prod_j (r_j a_j + (1-r_j)(1-a_j)), var 0 = index MSB
+    (the polynomial layer's convention).  Iterated doubling: process
+    variables LSB-first so each step prepends the next-more-significant
+    bit — k steps, 2^k total Montgomery multiplies."""
+    L = field.n_limbs
+    x = jnp.asarray(dev.const_limbs(field, 1)).reshape(L, 1)
+    for j in range(k - 1, -1, -1):
+        r = rs[j].reshape(L, 1)
+        right = dev.mont_mul(field, x, r)
+        left = dev.sub_mod(field, x, right)
+        x = jnp.concatenate([left, right], axis=-1)
+    return x
+
+
+def _mont_rs(field: Field, point: list[int]) -> jnp.ndarray:
+    """Host ints -> (k, L) Montgomery scalar rows (single upload)."""
+    k = len(point)
+    out = np.empty((k, field.n_limbs), dtype=np.uint32)
+    for j, v in enumerate(point):
+        out[j] = dev.const_limbs(field, v)
+    return jnp.asarray(out.reshape(max(k, 1), field.n_limbs)[:k])
+
+
+def eq_table(field: Field, point: list[int]) -> jnp.ndarray:
+    """eq(point, .) over the 2^k hypercube as (L, 2^k) Montgomery limbs."""
+    if not point:
+        return jnp.asarray(dev.const_limbs(field, 1)).reshape(field.n_limbs, 1)
+    return _eq_expand(field, len(point), _mont_rs(field, point))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _eval_points_kernel(field: Field, n_vars: int, data, rs):
+    """data: (L, 2^n) table; rs: (P, n_vars, L) Montgomery fold scalars.
+    Returns (L, P) Montgomery evaluations — P full folds batched in one
+    dispatch (vmap over the reference fold chain)."""
+    out = jax.vmap(lambda r: _fold_kernel(field, n_vars, 0, n_vars, data, r))(rs)
+    return out[:, :, 0].T  # (P, L, 1) -> (L, P)
+
+
+def mle_eval_points(field: Field, data: jnp.ndarray, points: list[list[int]]):
+    """Evaluate one MLE table at many points; returns (L, P) device limbs
+    (decode with dev.decode_ints for host ints)."""
+    n_vars = (data.shape[-1]).bit_length() - 1
+    if n_vars == 0:
+        return jnp.tile(data.reshape(field.n_limbs, 1), (1, len(points)))
+    P = len(points)
+    rs = np.empty((P, n_vars, field.n_limbs), dtype=np.uint32)
+    for i, pt in enumerate(points):
+        for j, v in enumerate(pt):
+            rs[i, j] = dev.const_limbs(field, v)
+    return _eval_points_kernel(field, n_vars, data, jnp.asarray(rs))
+
+
+# --------------------------------------------------------------------------
+# device circuit evaluation (witness generation)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _layer_eval(field: Field, pad_to: int, cur, left_idx, right_idx, is_add):
+    """One circuit layer on device: gather children, add/mul mod p,
+    select by gate op, zero-pad the output vector to 2^k."""
+    lv = cur[:, left_idx]
+    rv = cur[:, right_idx]
+    vals = jnp.where(
+        is_add[None, :], dev.add_mod(field, lv, rv), dev.mont_mul(field, lv, rv)
+    )
+    n = vals.shape[-1]
+    if pad_to > n:
+        vals = jnp.pad(vals, ((0, 0), (0, pad_to - n)))
+    return vals
+
+
+def evaluate_device(circuit, field: Field, inputs: list[int]) -> list[jnp.ndarray]:
+    """Wire values per level as (L, 2^k) Montgomery tensors, output level
+    first (device analog of Circuit.evaluate — same padding, gkr/circuit.py)."""
+    if len(inputs) != circuit.n_inputs:
+        raise ValueError("wrong number of inputs")
+    padded = [v for v in inputs] + [0] * (
+        (1 << circuit.layer_k(circuit.depth)) - len(inputs)
+    )
+    levels: list = [None] * (circuit.depth + 1)
+    cur = dev.encode_ints(field, padded)
+    levels[circuit.depth] = cur
+    for i in range(circuit.depth - 1, -1, -1):
+        left, right, is_add, _, _ = circuit.wiring(i)
+        cur = _layer_eval(
+            field,
+            1 << circuit.layer_k(i),
+            cur,
+            jnp.asarray(left),
+            jnp.asarray(right),
+            jnp.asarray(is_add),
+        )
+        levels[i] = cur
+    return levels
+
+
+# --------------------------------------------------------------------------
+# Libra phase tables
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _scatter_table(field: Field, size: int, pos, vals):
+    """Scatter-add Montgomery values into a zeroed (L, size) table and
+    renormalize mod p (duplicate positions accumulate exactly)."""
+    acc = jnp.zeros((field.n_limbs, size), U32).at[:, pos].add(vals)
+    return dev.renorm_relaxed(field, acc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _phase1_tables(field: Field, size_in: int, eq_r, w_dev, left, right, is_add):
+    """(G1, A2) for phase 1, each (L, size_in).
+
+    G1 = scatter at b=left of [eq_r(a)            for add gates,
+                               eq_r(a) * W(right) for mul gates]
+    A2 = scatter at b=left of  eq_r(a) * W(right) for add gates only.
+    """
+    wgt = eq_r  # (L, G) — caller pre-slices to the gate count
+    wr = w_dev[:, right]
+    wgt_wr = dev.mont_mul(field, wgt, wr)
+    g1_vals = jnp.where(is_add[None, :], wgt, wgt_wr)
+    g1 = _scatter_table(field, size_in, left, g1_vals)
+    a2_vals = jnp.where(is_add[None, :], wgt_wr, jnp.zeros_like(wgt_wr))
+    a2 = _scatter_table(field, size_in, left, a2_vals)
+    return g1, a2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _phase2_tables(field: Field, size_in: int, eq_r, eq_u, w_dev, wu, left, right, is_add):
+    """(add_u, mul_u_scaled, w_shift) for phase 2, each (L, size_in).
+
+    add_u(c) = add~(r,u,c) = scatter at c=right of eq_r(a) * eq_u(left)
+    mul_u_scaled = mul~(r,u,c) * W(u)
+    w_shift(c) = W(u) + W(c)
+    """
+    gl = eq_u[:, left]
+    w2 = dev.mont_mul(field, eq_r, gl)  # (L, G)
+    zeros = jnp.zeros_like(w2)
+    add_u = _scatter_table(
+        field, size_in, right, jnp.where(is_add[None, :], w2, zeros)
+    )
+    mul_u = _scatter_table(
+        field, size_in, right, jnp.where(is_add[None, :], zeros, w2)
+    )
+    mul_u_s = dev.mont_mul(field, mul_u, wu)
+    w_shift = dev.add_mod(field, w_dev, wu)
+    return add_u, mul_u_s, w_shift
+
+
+def build_phase1(field: Field, circuit, layer: int, eq_r, w_dev) -> SumOfProducts:
+    """Phase-1 polynomial over b: G1(b)*W(b) + A2(b)."""
+    left, right, is_add, _, _ = circuit.wiring(layer)
+    k_in = circuit.layer_k(layer + 1)
+    n_gates = len(left)
+    g1, a2 = _phase1_tables(
+        field,
+        1 << k_in,
+        eq_r[:, :n_gates],
+        w_dev,
+        jnp.asarray(left),
+        jnp.asarray(right),
+        jnp.asarray(is_add),
+    )
+    w = MLE(field, k_in, w_dev)
+    return SumOfProducts(
+        [ProductPoly([MLE(field, k_in, g1), w]), ProductPoly([MLE(field, k_in, a2)])]
+    )
+
+
+def build_phase2(
+    field: Field, circuit, layer: int, eq_r, u: list[int], w_dev
+) -> tuple[SumOfProducts, jnp.ndarray]:
+    """Phase-2 polynomial over c (b fixed at u):
+    add_u(c)*(W(u)+W(c)) + [mul_u(c)*W(u)]*W(c).  Also returns W(u) as a
+    (L, 1) device scalar (the layer proof's w_b, decoded later)."""
+    left, right, is_add, _, _ = circuit.wiring(layer)
+    k_in = circuit.layer_k(layer + 1)
+    n_gates = len(left)
+    wu = mle_eval_points(field, w_dev, [u])  # (L, 1)
+    add_u, mul_u_s, w_shift = _phase2_tables(
+        field,
+        1 << k_in,
+        eq_r[:, :n_gates],
+        eq_table(field, u),
+        w_dev,
+        wu,
+        jnp.asarray(left),
+        jnp.asarray(right),
+        jnp.asarray(is_add),
+    )
+    poly = SumOfProducts(
+        [
+            ProductPoly([MLE(field, k_in, add_u), MLE(field, k_in, w_shift)]),
+            ProductPoly([MLE(field, k_in, mul_u_s), MLE(field, k_in, w_dev)]),
+        ]
+    )
+    return poly, wu
+
+
+# --------------------------------------------------------------------------
+# device wiring-predicate evaluation (verifier-side option)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _wiring_eval_kernel(field: Field, eq_r, eq_b, eq_c, left, right, is_add):
+    """(add~, mul~) at (r, b, c) from the gate list: per gate
+    eq_r(a) * eq_b(left) * eq_c(right), summed per op.  Returns (L, 2)."""
+    w = dev.mont_mul(field, eq_r, eq_b[:, left])
+    w = dev.mont_mul(field, w, eq_c[:, right])
+    mask = is_add[None, :]
+    add_sum = dev.sum_mod(field, jnp.where(mask, w, jnp.zeros_like(w)), axis=-1)
+    mul_sum = dev.sum_mod(field, jnp.where(mask, jnp.zeros_like(w), w), axis=-1)
+    return jnp.stack([add_sum, mul_sum], axis=-1)
+
+
+def wiring_eval(
+    field: Field, circuit, layer: int, r: list[int], b: list[int], c: list[int]
+) -> tuple[int, int]:
+    """Evaluate (add~_layer, mul~_layer) at (r, b, c) on device in
+    O(gates) — same values as the host eq-sum (gkr._wiring_eval_host)."""
+    left, right, is_add, _, _ = circuit.wiring(layer)
+    n_gates = len(left)
+    out = _wiring_eval_kernel(
+        field,
+        eq_table(field, r)[:, :n_gates],
+        eq_table(field, b),
+        eq_table(field, c),
+        jnp.asarray(left),
+        jnp.asarray(right),
+        jnp.asarray(is_add),
+    )
+    vals = dev.decode_ints(field, out)
+    return vals[0], vals[1]

@@ -170,15 +170,22 @@ class SumcheckProver:
         max_var_degree: int | None = None,
         tail_size: int | None = None,
         device_transcript: bool | None = None,
+        bind_sum: bool = True,
     ) -> tuple[SumcheckProof, list[int]]:
-        """prover.rs:33-69 round loop across the three execution tiers."""
+        """prover.rs:33-69 round loop across the three execution tiers.
+
+        bind_sum=False skips the claimed-sum transcript binding — used by
+        the two-phase (Libra) GKR prover, whose second phase continues a
+        sumcheck already bound (the verifier absorbs the sum exactly once
+        per 2k-round layer proof, verifier.rs:50)."""
         from zk_tpu.sumcheck import kernels as K
         from zk_tpu.fields.pallas_kernels import on_tpu
 
         field: Field = poly.field
         degree = max_var_degree if max_var_degree is not None else poly.max_degree
         tail = K.TAIL_SIZE if tail_size is None else tail_size
-        transcript.append(field.to_bytes_be(sum))
+        if bind_sum:
+            transcript.append(field.to_bytes_be(sum))
 
         round_polys: list[list[int]] = []
         challenges: list[int] = []
@@ -233,14 +240,20 @@ class SumcheckProver:
                         ]
                 size //= 2
 
-            # single sync point: round data (+ tail state) back to host
-            got_sums, got_chs = jax.device_get((sums_dev, chall_dev))
+            # single sync point: round data + sponge state back to host.
+            # The state import keeps the caller's Transcript current even
+            # when every round ran on device — GKR chains more appends
+            # onto it — and costs nothing extra (same device_get).
+            got_sums, got_chs, lo_h, hi_h, buf_h = jax.device_get(
+                (sums_dev, chall_dev, lo, hi, buf)
+            )
             for total, ch in zip(got_sums, got_chs):
                 round_polys.append(dev.decode_ints(field, total, mont=False))
                 challenges.append(dev.decode_ints(field, ch, mont=False)[0])
+            lanes = [int(lo_h[i]) | (int(hi_h[i]) << 32) for i in range(25)]
+            pend = bytes(int(x) & 0xFF for x in buf_h[:pos])
+            transcript.import_state(lanes, pend)
             if len(challenges) < n_vars:
-                lanes, pend = tdev.state_to_host(lo, hi, buf, pos)
-                transcript.import_state(lanes, pend)
                 host_tables = K.HostTables(
                     field,
                     [
