@@ -23,7 +23,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# unrolled limb graphs compile slowly on XLA:CPU; cache them across runs
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zk_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# This image's XLA:CPU backend segfaults sporadically while COMPILING
+# large unrolled limb graphs (crash inside backend_compile_and_load;
+# machine-feature mismatch between the bundled CPU AOT pipeline and this
+# host).  Tests only check values, so drop the heavy optimization passes:
+# compiles are faster and avoid the crashing pass.  Bench/TPU runs are
+# unaffected (this file is test-only).
+jax.config.update("jax_disable_most_optimizations", True)
+# The persistent compilation cache is OFF by default: on this image its
+# write path segfaults deterministically when serializing the large
+# unrolled limb executables from a cold cache dir (JAX cache bug, not our
+# code — crashes inside the cache write with our graphs fully compiled).
+# Opt in with ZK_TPU_TEST_CACHE=1 for fast local iteration once the cache
+# dir is warm.
+if os.environ.get("ZK_TPU_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zk_tpu_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

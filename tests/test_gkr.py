@@ -205,6 +205,21 @@ def test_wiring_eval_device_matches_host():
     assert mul_d == _wiring_eval_host(F17, c, 0, "mul", r + b + cc)
 
 
+def test_gkr_proof_serialization_roundtrip():
+    import random
+
+    from zk_tpu.gkr import gkr_proof_from_bytes, gkr_proof_to_bytes
+
+    rng = random.Random(13)
+    c = random_circuit(rng, depth=3, width=8, n_inputs=8)
+    inputs = [rng.randrange(FR.p) for _ in range(8)]
+    proof, _ = GKRProver.prove(FR, c, inputs)
+    data = gkr_proof_to_bytes(FR, proof)
+    back = gkr_proof_from_bytes(FR, data)
+    assert back == proof
+    assert GKRVerifier.verify(FR, c, inputs, back)
+
+
 def test_gkr_unpadded_layer_sizes():
     # 3-gate layer (padded to 4) over 5 inputs (padded to 8)
     c = Circuit(

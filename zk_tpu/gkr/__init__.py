@@ -292,6 +292,66 @@ class GKRProver:
 
 
 # --------------------------------------------------------------------------
+# serialization (canonical BE layout, same conventions as
+# zk_tpu.sumcheck.proof_to_bytes)
+# --------------------------------------------------------------------------
+
+
+def gkr_proof_to_bytes(field: Field, proof: GKRProof) -> bytes:
+    from zk_tpu.sumcheck import proof_to_bytes
+
+    out = bytearray()
+    out += len(proof.outputs).to_bytes(4, "big")
+    out += field.elements_to_bytes(proof.outputs)
+    out += len(proof.layer_proofs).to_bytes(4, "big")
+    for lp in proof.layer_proofs:
+        sc = proof_to_bytes(field, lp.sumcheck)
+        out += len(sc).to_bytes(4, "big")
+        out += sc
+        out += field.elements_to_bytes([lp.w_b, lp.w_c])
+        out += len(lp.q_evals).to_bytes(4, "big")
+        out += field.elements_to_bytes(lp.q_evals)
+    return bytes(out)
+
+
+def gkr_proof_from_bytes(field: Field, data: bytes) -> GKRProof:
+    from zk_tpu.sumcheck import proof_from_bytes
+
+    nb = field.n_bytes
+    off = 0
+
+    def u32() -> int:
+        nonlocal off
+        v = int.from_bytes(data[off : off + 4], "big")
+        off += 4
+        return v
+
+    def elems(count: int) -> list[int]:
+        nonlocal off
+        out = [
+            field.from_be_bytes_mod_order(data[off + i * nb : off + (i + 1) * nb])
+            for i in range(count)
+        ]
+        off += count * nb
+        return out
+
+    outputs = elems(u32())
+    layer_proofs = []
+    for _ in range(u32()):
+        sc_len = u32()
+        sc = proof_from_bytes(field, data[off : off + sc_len])
+        off += sc_len
+        w_b, w_c = elems(2)
+        q_evals = elems(u32())
+        layer_proofs.append(
+            LayerProof(sumcheck=sc, w_b=w_b, w_c=w_c, q_evals=q_evals)
+        )
+    if off != len(data):
+        raise ValueError("trailing bytes in serialized GKR proof")
+    return GKRProof(outputs=outputs, layer_proofs=layer_proofs)
+
+
+# --------------------------------------------------------------------------
 # verifier
 # --------------------------------------------------------------------------
 

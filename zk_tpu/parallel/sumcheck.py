@@ -232,13 +232,17 @@ class ShardedSumcheckProver:
                 chall_dev.append(ch_canon)
                 terms3 = _fold_sharded(field, mesh, terms3, ch_mont)
                 w //= 2
-            got_sums, got_chs = jax.device_get((sums_dev, chall_dev))
+            # single sync point; also restores the host transcript sponge
+            # (keeps chained protocols correct — same as the single-chip tier)
+            got_sums, got_chs, lo_h, hi_h, buf_h = jax.device_get(
+                (sums_dev, chall_dev, lo, hi, buf)
+            )
             for total, ch in zip(got_sums, got_chs):
                 round_polys.append(dev.decode_ints(field, total, mont=False))
                 challenges.append(dev.decode_ints(field, ch, mont=False)[0])
-            if len(challenges) < n_vars:
-                lanes, pend = tdev.state_to_host(lo, hi, buf, pos)
-                transcript.import_state(lanes, pend)
+            lanes = [int(lo_h[i]) | (int(hi_h[i]) << 32) for i in range(25)]
+            pend = bytes(int(x) & 0xFF for x in buf_h[:pos])
+            transcript.import_state(lanes, pend)
         else:
             for _ in range(n_vars):
                 if w <= 1:

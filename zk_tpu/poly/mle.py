@@ -52,16 +52,40 @@ def _fold_kernel(field: Field, n_vars: int, initial_var: int, k: int, data, rs):
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+def _fold_chain_kernel(field: Field, n: int, k: int, x, rs_dev):
+    """The ENTIRE k-step fold chain as one compiled program: Pallas fold
+    kernels while the table is large, the jnp reshape+lerp ladder for the
+    small tail.  x: (1, L, n) donated Montgomery limbs; rs_dev: (k, L)
+    Montgomery fold scalars.  Returns (L, 2^(log2 n - k)).
+
+    One program = ONE dispatch: on the tunneled chip each launch costs
+    ~1.5 ms of host->device latency, so a per-fold dispatch chain is
+    launch-bound (~24 launches at 2^24) while this is compute-bound.
+    """
+    from zk_tpu.sumcheck import kernels as K
+
+    L = field.n_limbs
+    i = 0
+    while i < k and n >= K._PALLAS_MIN:
+        x = K._fold_stack_inner(field, 1, n, x, rs_dev[i].reshape(L, 1), True)
+        n //= 2
+        i += 1
+    out = x[0]
+    if i < k:
+        n_vars = n.bit_length() - 1
+        out = _fold_kernel(field, n_vars, 0, k - i, out, rs_dev[i:])
+    return out
+
+
 def _fold_var0_fast(field: Field, data, assignments: list[int]):
     """TPU fast path for consecutive var-0 folds: ONE host->device upload
-    of all fold scalars, then a fully-async chain of fold kernels (Pallas
-    above the small-shape threshold, jnp below) with donated buffers and
-    no sync anywhere — the caller's eventual decode is the only
-    round-trip.  On the tunneled chip each avoided sync is ~25 ms.
-    Returns the folded (L, 2^(n-k)) tensor, or None for the jnp ladder.
+    of all fold scalars, ONE fused dispatch for the whole fold chain
+    (_fold_chain_kernel) — the caller's eventual decode is the only
+    round-trip.  Returns the folded (L, 2^(n-k)) tensor, or None to use
+    the jnp ladder.
     """
     from zk_tpu.fields.pallas_kernels import on_tpu
-    from zk_tpu.sumcheck import kernels as K
 
     n = data.shape[-1]
     if not on_tpu() or n < 4:
@@ -71,18 +95,8 @@ def _fold_var0_fast(field: Field, data, assignments: list[int]):
     for i, a in enumerate(assignments):
         rs[i] = dev.const_limbs(field, a)
     rs_dev = jnp.asarray(rs)  # single upload
-    k = len(assignments)
-    x = data[None]  # (1, L, n) — fresh buffer, safe to donate down the chain
-    i = 0
-    while i < k and n >= K._PALLAS_MIN:
-        x = K._fold_stack(field, 1, n, x, rs_dev[i].reshape(L, 1), True)
-        n //= 2
-        i += 1
-    if i == k:
-        return x[0]
-    # remaining small folds: ONE jitted reshape+lerp ladder dispatch
-    n_vars = n.bit_length() - 1
-    return _fold_kernel(field, n_vars, 0, k - i, x[0], rs_dev[i:])
+    # data[None] materializes a fresh (1, L, n) buffer, safe to donate
+    return _fold_chain_kernel(field, n, len(assignments), data[None], rs_dev)
 
 
 class MLE:
