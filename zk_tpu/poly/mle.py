@@ -68,9 +68,15 @@ def _fold_chain_kernel(field: Field, n: int, k: int, x, rs_dev):
     L = field.n_limbs
     i = 0
     while i < k and n >= K._PALLAS_MIN:
-        x = K._fold_stack_inner(field, 1, n, x, rs_dev[i].reshape(L, 1), True)
-        n //= 2
-        i += 1
+        # fold up to 4 variables per kernel pass: the chain is HBM-bound,
+        # and an f-variable pass streams the table once instead of f times
+        # (same multiply count — the lerp tree runs on registers)
+        f = min(4, k - i, n.bit_length() - 1 - 7)  # keep out_n >= 128 lanes
+        f = max(f, 1)
+        rs = rs_dev[i : i + f].T  # (L, f)
+        x = K._fold_multi_pallas(field, 1, n, f, x, rs)
+        n >>= f
+        i += f
     out = x[0]
     if i < k:
         n_vars = n.bit_length() - 1

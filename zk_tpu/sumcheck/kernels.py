@@ -143,6 +143,65 @@ def _fold_pallas(field: Field, k: int, n: int, tables, r):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _fold_multi_pallas(field: Field, k: int, n: int, f: int, stack, rs):
+    """Fold f consecutive MSB variables of a (k, L, n) stack in ONE pass.
+
+    rs: (L, f) Montgomery scalars, column l = fold scalar for variable l.
+    Returns (k, L, n >> f).  Each grid step reads 2^f input tiles at
+    stride n/2^f and lerp-reduces them down a binary tree on registers:
+    same 2^f - 1 multiplies per output element as f separate folds, but
+    the table is streamed from HBM once instead of ~2x (geometric) — the
+    fold chain is HBM-bound at production sizes, so a 4-variable fold is
+    a ~3x traffic cut over the single-step chain.
+
+    Tree order matches the reference's consecutive var-0 folds
+    (evaluation_form.rs:54-72): level l pairs tiles j, j + 2^(f-1-l),
+    i.e. elements differing in the current most-significant index bit.
+    """
+    L = field.n_limbs
+    F = 1 << f
+    out_n = n >> f
+    block = min(BLOCK, out_n)
+    grid = (out_n // block,)
+    q = out_n // block
+
+    def kernel(*refs):
+        ins = refs[:F]
+        rs_ref = refs[F]
+        o_ref = refs[F + 1]
+        for t in range(k):
+            tiles = [[ins[j][t, i] for i in range(L)] for j in range(F)]
+            m = F
+            for l in range(f):
+                r = [rs_ref[i, l : l + 1] for i in range(L)]
+                tiles = [
+                    lm.lerp(field, tiles[j], tiles[j + m // 2], r)
+                    for j in range(m // 2)
+                ]
+                m //= 2
+            for i in range(L):
+                o_ref[t, i] = tiles[0][i]
+
+    in_specs = [
+        pl.BlockSpec(
+            (k, L, block), lambda i, j=j: (0, 0, i + j * q), memory_space=pltpu.VMEM
+        )
+        for j in range(F)
+    ]
+    in_specs.append(
+        pl.BlockSpec((L, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    out_spec = pl.BlockSpec((k, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k, L, out_n), jnp.uint32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )(*([stack] * F), rs)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _fold_then_sums(field: Field, degree: int, k: int, n: int, stack, r):
     """One dispatch per round: fold the (k, L, n) stack at the previous
     challenge, then compute the next round's sums on the folded table.
