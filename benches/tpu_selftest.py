@@ -58,6 +58,33 @@ def main():
     assert sub.challenges == ch_dev
     print(f"sumcheck tiers n={n}: byte-identical, OK", flush=True)
 
+    # ---- degree-1 single-MLE sumcheck: exercises the fused
+    # fold+half-sums Pallas round kernels (big + small variants)
+    pp1 = ProductPoly([MLE.new(FR, n, vals_a)])
+    total1 = sum(vals_a) % FR.p
+    p1_dev, c1_dev = SumcheckProver.prove_partial(
+        pp1, total1, max_var_degree=1, device_transcript=True
+    )
+    p1_host, c1_host = SumcheckProver.prove_partial(
+        pp1, total1, max_var_degree=1, tail_size=1 << 30, device_transcript=False
+    )
+    assert p1_dev == p1_host and c1_dev == c1_host, "degree-1 tier mismatch"
+    print(f"sumcheck degree-1 fused rounds n={n}: byte-identical, OK", flush=True)
+
+    # ---- Pallas Keccak-f[1600] vs the pure-Python permutation
+    import numpy as np
+    import jax.numpy as jnp
+    from zk_tpu.transcript import device as tdev
+    from zk_tpu.transcript.keccak import keccak_f1600
+
+    lanes = [rng.randrange(1 << 64) for _ in range(25)]
+    lo = jnp.asarray(np.array([l & 0xFFFFFFFF for l in lanes], dtype=np.uint32))
+    hi = jnp.asarray(np.array([l >> 32 for l in lanes], dtype=np.uint32))
+    plo, phi = jax.device_get(tdev._keccak_f1600_pallas(lo, hi))
+    got = [int(plo[i]) | (int(phi[i]) << 32) for i in range(25)]
+    assert got == keccak_f1600(lanes), "pallas keccak mismatch"
+    print("pallas keccak-f1600: OK", flush=True)
+
     # ---- GKR: linear-time device prover vs dense oracle, byte-identical
     from tests.test_gkr import random_circuit  # seeded builder
 

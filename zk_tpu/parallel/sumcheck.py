@@ -113,6 +113,52 @@ def _fold_sharded(field: Field, mesh: Mesh, terms3, r):
     return [fn(t3, r) for t3 in terms3]
 
 
+@functools.lru_cache(maxsize=None)
+def _chain_fn(
+    field: Field,
+    degree: int,
+    n_terms: int,
+    mesh: Mesh,
+    w: int,
+    rounds: int,
+    pos: int,
+    fold_last: bool,
+):
+    """Cached jitted whole-loop prover chain over the mesh: all `rounds`
+    device rounds (psum'd sums -> replicated sponge -> sharded fold) as
+    ONE compiled program — one dispatch + one device_get for the entire
+    sharded phase, mirroring the single-chip kernels._prove_chain."""
+    from zk_tpu.sumcheck import kernels as K
+
+    sums_one = _sums_fn(field, degree, mesh)
+    fold_one = _fold_fn(field, mesh)
+
+    @jax.jit
+    def run(terms3, lo, hi, buf):
+        zcol = jnp.zeros((degree + 1, 1), jnp.uint32)
+        p = pos
+        sums_all, chs_all = [], []
+        for rnd in range(rounds):
+            total_relaxed = None
+            for t3 in terms3:
+                part = sums_one(t3)
+                total_relaxed = (
+                    part if total_relaxed is None else total_relaxed + part
+                )
+            norm = jnp.concatenate([total_relaxed, zcol], axis=1)
+            lo, hi, buf, total, ch_canon, ch_mont = K._transcript_round_impl(
+                field, degree, p, lo, hi, buf, (norm,)
+            )
+            p = 32
+            sums_all.append(total)
+            chs_all.append(ch_canon)
+            if rnd < rounds - 1 or fold_last:
+                terms3 = tuple(fold_one(t3, ch_mont) for t3 in terms3)
+        return sums_all, chs_all, lo, hi, buf, terms3
+
+    return run
+
+
 def _decode_relaxed_vec(field: Field, arr) -> list[int]:
     """(D+1, L) relaxed uint32 limb rows (sums of Montgomery values) ->
     canonical ints: bigint carry, then un-scale by R^-1, mod p."""
@@ -219,19 +265,21 @@ class ShardedSumcheckProver:
             lanes, pend = transcript.export_state()
             lo, hi, buf, pos = tdev.state_to_device(lanes, pend)
             lo, hi, buf = (jax.device_put(a, rep) for a in (lo, hi, buf))
-            zcol = jnp.zeros((degree + 1, 1), jnp.uint32)
+            rounds, w_sz = 0, w
+            while w_sz > 1 and rounds < n_vars:
+                rounds += 1
+                w_sz //= 2
+            fold_last = rounds < n_vars  # host tail continues from terms3
             sums_dev, chall_dev = [], []
-            while w > 1 and len(sums_dev) < n_vars:
-                relaxed = _round_sums_sharded(field, degree, mesh, terms3)
-                norm = jnp.concatenate([relaxed, zcol], axis=1)  # (D+1, L+1)
-                lo, hi, buf, total, ch_canon, ch_mont = K._transcript_round(
-                    field, degree, pos, lo, hi, buf, (norm,)
+            if rounds:
+                run = _chain_fn(
+                    field, degree, len(terms3), mesh, w, rounds, pos, fold_last
+                )
+                sums_dev, chall_dev, lo, hi, buf, terms3 = run(
+                    tuple(terms3), lo, hi, buf
                 )
                 pos = 32
-                sums_dev.append(total)
-                chall_dev.append(ch_canon)
-                terms3 = _fold_sharded(field, mesh, terms3, ch_mont)
-                w //= 2
+                w = w_sz
             # single sync point; also restores the host transcript sponge
             # (keeps chained protocols correct — same as the single-chip tier)
             got_sums, got_chs, lo_h, hi_h, buf_h = jax.device_get(

@@ -199,9 +199,10 @@ class SumcheckProver:
             device_transcript = use_pallas and field.p > (1 << 32)
 
         if device_transcript and field.p > (1 << 32) and size > tail and n_vars > 0:
-            # -- device-resident Fiat-Shamir: the whole round loop is an
-            # async dispatch chain; ONE device_get at the end pulls every
-            # round poly + challenge (and the sponge state for the tail).
+            # -- device-resident Fiat-Shamir: ALL device rounds run as ONE
+            # compiled program (kernels._prove_chain); ONE device_get at
+            # the end pulls every round poly + challenge (and the sponge
+            # state for the tail).
             from zk_tpu.sumcheck import kernels as K
             from zk_tpu.transcript import device as tdev
 
@@ -209,36 +210,37 @@ class SumcheckProver:
             lo, hi, buf = tdev.state_to_device(lanes, pend)[:3]
             pos = len(pend)
             stacks = [jnp.stack(term) for term in terms]
-            norms = [
-                K._sums_norm(field, degree, s.shape[0], size, s, use_pallas)
-                for s in stacks
-            ]
-            sums_dev, chall_dev = [], []
-            while size > tail and len(sums_dev) < n_vars:
-                lo, hi, buf, total, ch_canon, ch_mont = K._transcript_round(
-                    field, degree, pos, lo, hi, buf, tuple(norms)
-                )
-                pos = 32
-                sums_dev.append(total)
-                chall_dev.append(ch_canon)
-                if len(sums_dev) < n_vars:
-                    if size // 2 > tail:
-                        pairs = [
-                            K._fold_then_norm(
-                                field, degree, s.shape[0], size, s, ch_mont, use_pallas
-                            )
-                            for s in stacks
-                        ]
-                        stacks = [p[0] for p in pairs]
-                        norms = [p[1] for p in pairs]
-                    else:
-                        stacks = [
-                            K._fold_stack(
-                                field, s.shape[0], size, s, ch_mont, use_pallas
-                            )
-                            for s in stacks
-                        ]
-                size //= 2
+            ks = tuple(s.shape[0] for s in stacks)
+            # with the whole round loop in one compiled program the host
+            # tail no longer saves dispatches, so run nearly every round
+            # on device (at 2^24: 57 ms vs 84 ms with the 2048 host tail —
+            # the tail's Python bigint rounds cost more than the extra
+            # chain stages).  The last few sub-128 rounds DO stay on host:
+            # below the fused-kernel floor each device round is hundreds
+            # of tiny XLA ops, pricier than ~250 host bigint mults.  An
+            # explicit tail_size always wins (tier-differential tests).
+            chain_tail = min(128, tail) if tail_size is None else tail
+            rounds, s_sz = 0, size
+            while s_sz > chain_tail and rounds < n_vars:
+                rounds += 1
+                s_sz //= 2
+            fold_last = rounds < n_vars  # host tail continues from stacks
+            sums_dev, chall_dev, lo, hi, buf, stacks = K._prove_chain(
+                field,
+                degree,
+                ks,
+                size,
+                rounds,
+                pos,
+                fold_last,
+                use_pallas,
+                tuple(stacks),
+                lo,
+                hi,
+                buf,
+            )
+            pos = 32
+            size = s_sz
 
             # single sync point: round data + sponge state back to host.
             # The state import keeps the caller's Transcript current even

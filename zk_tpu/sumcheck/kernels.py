@@ -201,12 +201,165 @@ def _fold_multi_pallas(field: Field, k: int, n: int, f: int, stack, rs):
     )(*([stack] * F), rs)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fold_halfsums_pallas(field: Field, n: int, stack, r):
+    """Single-factor degree-1 fused round step: fold the (1, L, n) stack
+    at challenge r AND accumulate the folded table's half sums (= the
+    NEXT round's p(0), p(1) — the structural 0/1 fast path) in the same
+    HBM pass.  Returns (folded (1, L, n//2), acc (2, L, block)) where acc
+    rows are relaxed uint32 accumulators for _norm_block.
+
+    Accumulation bound: each grid step adds one tile of Montgomery
+    values (limbs < 2^16) to one row; <= 2^15 steps per row keeps every
+    accumulator lane < 2^31 (the MAX_GRID argument).  Requires n >= 512
+    (two 128-lane accumulator blocks per half)."""
+    L = field.n_limbs
+    out_n = n // 2
+    block = min(BLOCK, out_n // 2)
+    q = out_n // block  # power of two >= 2
+    assert q <= MAX_GRID
+
+    def kernel(left_ref, right_ref, r_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        r_rows = [r_ref[i] for i in range(L)]
+        out = lm.lerp(
+            field,
+            [left_ref[0, i] for i in range(L)],
+            [right_ref[0, i] for i in range(L)],
+            r_rows,
+        )
+        for i in range(L):
+            o_ref[0, i] = out[i]
+        in_left = pl.program_id(0) < q // 2
+
+        @pl.when(in_left)
+        def _():
+            for i in range(L):
+                acc_ref[0, i, :] += out[i]
+
+        @pl.when(jnp.logical_not(in_left))
+        def _():
+            for i in range(L):
+                acc_ref[1, i, :] += out[i]
+
+    half = pl.BlockSpec((1, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    rhalf = pl.BlockSpec(
+        (1, L, block), lambda i, g=q: (0, 0, i + g), memory_space=pltpu.VMEM
+    )
+    r_spec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(
+        (2, L, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, L, out_n), jnp.uint32),
+            jax.ShapeDtypeStruct((2, L, block), jnp.uint32),
+        ),
+        grid=(q,),
+        in_specs=[half, rhalf, r_spec],
+        out_specs=(half, acc_spec),
+    )(stack, stack, r)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fold_halfsums_small_pallas(field: Field, n: int, stack, r):
+    """Small-table variant of _fold_halfsums_pallas (256 <= n < 512):
+    one grid step folds the whole (1, L, n) stack and reduces the folded
+    halves to (2, L, 1) sums in-kernel via a lane mask (out_n < 256
+    can't form two 128-lane accumulator blocks).  Sum bound: out_n <= 256
+    summands < 2^16 -> exact uint32."""
+    L = field.n_limbs
+    out_n = n // 2
+
+    def kernel(left_ref, right_ref, r_ref, o_ref, acc_ref):
+        r_rows = [r_ref[i] for i in range(L)]
+        out = lm.lerp(
+            field,
+            [left_ref[0, i] for i in range(L)],
+            [right_ref[0, i] for i in range(L)],
+            r_rows,
+        )
+        for i in range(L):
+            o_ref[0, i] = out[i]
+        mask = (
+            jax.lax.broadcasted_iota(jnp.uint32, (1, out_n), 1)
+            < out_n // 2
+        )
+        zero = jnp.zeros((1, out_n), jnp.uint32)
+        for i in range(L):
+            row = out[i].reshape(1, out_n)
+            acc_ref[0, i, 0] = jnp.sum(jnp.where(mask, row, zero))
+            acc_ref[1, i, 0] = jnp.sum(jnp.where(mask, zero, row))
+
+    half = pl.BlockSpec((1, L, out_n), lambda: (0, 0, 0), memory_space=pltpu.VMEM)
+    rhalf = pl.BlockSpec((1, L, out_n), lambda: (0, 0, 1), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((2, L, 1), lambda: (0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, L, out_n), jnp.uint32),
+            jax.ShapeDtypeStruct((2, L, 1), jnp.uint32),
+        ),
+        in_specs=[half, rhalf, r_spec],
+        out_specs=(half, acc_spec),
+    )(stack, stack, r)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _half_sums_pallas(field: Field, stack):
+    """Degree-1 single-factor round sums of a (1, L, n) stack on TPU:
+    p(0) = sum(left half), p(1) = sum(right half), zero multiplies.
+    Returns (2, L, block) relaxed uint32 accumulators for _norm_block.
+    (The jnp chunk-sum fallback `_half_sums_relaxed` reduces along the
+    minor lane axis, which XLA lowers poorly on TPU — this kernel keeps
+    the accumulation as full-lane vector adds.)"""
+    L = field.n_limbs
+    n = stack.shape[-1]
+    half = n // 2
+    block = min(BLOCK, half)
+    q = half // block
+    assert q <= MAX_GRID
+
+    def kernel(l_ref, r_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for i in range(L):
+            acc_ref[0, i, :] += l_ref[0, i]
+            acc_ref[1, i, :] += r_ref[0, i]
+
+    lhalf = pl.BlockSpec((1, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    rhalf = pl.BlockSpec(
+        (1, L, block), lambda i, g=q: (0, 0, i + g), memory_space=pltpu.VMEM
+    )
+    acc_spec = pl.BlockSpec(
+        (2, L, block), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, L, block), jnp.uint32),
+        grid=(q,),
+        in_specs=[lhalf, rhalf],
+        out_specs=acc_spec,
+    )(stack, stack)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _fold_then_sums(field: Field, degree: int, k: int, n: int, stack, r):
     """One dispatch per round: fold the (k, L, n) stack at the previous
     challenge, then compute the next round's sums on the folded table.
     Halves the per-round host<->device round-trips (the device_get of the
-    sums is the only mandatory Fiat-Shamir sync point)."""
+    sums is the only mandatory Fiat-Shamir sync point).  The degree-1
+    single-factor case runs the fused fold+half-sums kernel (one HBM
+    pass for the whole round)."""
+    if degree == 1 and k == 1 and n >= 512:
+        return _fold_halfsums_pallas(field, n, stack, r)
     folded = _fold_pallas(field, k, n, stack, r)
     if degree == 1 and k == 1:
         raw = _half_sums_relaxed(field, folded)
@@ -314,17 +467,13 @@ def _sums_jnp_stack(field: Field, degree: int, stack):
 
 def _sums_norm_inner(field: Field, degree: int, k: int, n: int, stack, use_pallas: bool):
     if degree == 1 and k == 1:
+        if use_pallas and n >= _PALLAS_MIN:
+            return _norm_block(_half_sums_pallas(field, stack))
         return _norm_chunks(_half_sums_relaxed(field, stack))
     if use_pallas and n >= _PALLAS_MIN:
         return _norm_block(_round_sums_pallas(field, degree, k, n, stack))
     mont = _sums_jnp_stack(field, degree, stack)  # (D+1, L) proper
     return jnp.concatenate([mont, jnp.zeros((degree + 1, 1), U32)], axis=1)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5))
-def _sums_norm(field: Field, degree: int, k: int, n: int, stack, use_pallas: bool):
-    """Round-poly sums of a (k, L, n) stack as (D+1, L+1) relaxed limbs."""
-    return _sums_norm_inner(field, degree, k, n, stack, use_pallas)
 
 
 def _fold_stack_inner(field: Field, k: int, n: int, stack, r, use_pallas: bool):
@@ -337,24 +486,6 @@ def _fold_stack_inner(field: Field, k: int, n: int, stack, r, use_pallas: bool):
             for t in range(k)
         ]
     )
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5), donate_argnums=(3,))
-def _fold_stack(field: Field, k: int, n: int, stack, r, use_pallas: bool):
-    return _fold_stack_inner(field, k, n, stack, r, use_pallas)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 6), donate_argnums=(4,))
-def _fold_then_norm(
-    field: Field, degree: int, k: int, n: int, stack, r, use_pallas: bool
-):
-    """One dispatch: fold the (k, L, n) stack at the challenge, then the
-    next round's normalized sums on the folded table.  The input stack is
-    donated — it is dead after the fold, and without donation the async
-    dispatch chain keeps every round's table alive at once (2x the HBM
-    high-water mark on big tables)."""
-    folded = _fold_stack_inner(field, k, n, stack, r, use_pallas)
-    return folded, _sums_norm_inner(field, degree, k, n // 2, folded, use_pallas)
 
 
 @functools.lru_cache(maxsize=None)
@@ -390,8 +521,7 @@ def _canon_sums(field: Field, norm):
     return dev.sum_mod(field, prods, axis=-1)  # (L, C) canonical
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _transcript_round(field: Field, degree: int, pos: int, lo, hi, buf, norms):
+def _transcript_round_impl(field: Field, degree: int, pos: int, lo, hi, buf, norms):
     """The per-round Fiat-Shamir step, entirely on device: canonicalize
     the round-poly sums, absorb their BE bytes, squeeze the challenge
     (prover.rs:59-62 semantics, byte-exact vs the host Transcript).
@@ -410,6 +540,84 @@ def _transcript_round(field: Field, degree: int, pos: int, lo, hi, buf, norms):
     lo, hi, buf, _pos3, digest = tdev.sample_challenge(lo, hi, buf, pos2)
     mont, canon = tdev.challenge_from_digest(field, digest)
     return lo, hi, buf, total, canon, mont
+
+
+_transcript_round = functools.partial(jax.jit, static_argnums=(0, 1, 2))(
+    _transcript_round_impl
+)
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7), donate_argnums=(8,)
+)
+def _prove_chain(
+    field: Field,
+    degree: int,
+    ks: tuple,
+    n: int,
+    rounds: int,
+    pos: int,
+    fold_last: bool,
+    use_pallas: bool,
+    stacks: tuple,
+    lo,
+    hi,
+    buf,
+):
+    """The ENTIRE device portion of the sumcheck prover as ONE compiled
+    program: per round (sums -> absorb -> squeeze -> challenge -> fold),
+    unrolled over the statically-shrinking table sizes, with the sponge
+    state carried through on device (prover.rs:44-68 semantics).
+
+    One program = one dispatch: on the tunneled chip each launch costs
+    ~1.5 ms host->device, so the previous 2-dispatches-per-round loop was
+    launch-bound (~2n launches); here the single device_get of the result
+    is the only traffic.
+
+    stacks: tuple of (k, L, n) factor stacks (one per product term,
+    donated).  Returns (per-round sums [(L, D+1) canonical], per-round
+    challenges [(L, 1) canonical], lo, hi, buf, final stacks) where the
+    final stacks are folded past the last round iff fold_last (the host
+    tail continues from them)."""
+    size = n
+    norms = [
+        _sums_norm_inner(field, degree, k, size, s, use_pallas)
+        for k, s in zip(ks, stacks)
+    ]
+    sums_all, chs_all = [], []
+    p = pos
+    for rnd in range(rounds):
+        lo, hi, buf, total, ch_canon, ch_mont = _transcript_round_impl(
+            field, degree, p, lo, hi, buf, tuple(norms)
+        )
+        p = 32
+        sums_all.append(total)
+        chs_all.append(ch_canon)
+        last = rnd == rounds - 1
+        if not last and degree == 1 and ks == (1,) and use_pallas and size >= 256:
+            # fused round: fold + next half-sums in ONE HBM pass
+            if size >= 512:
+                folded, acc = _fold_halfsums_pallas(field, size, stacks[0], ch_mont)
+            else:
+                folded, acc = _fold_halfsums_small_pallas(
+                    field, size, stacks[0], ch_mont
+                )
+            stacks = (folded,)
+            size //= 2
+            norms = [_norm_block(acc)]
+            continue
+        if not last or fold_last:
+            stacks = tuple(
+                _fold_stack_inner(field, k, size, s, ch_mont, use_pallas)
+                for k, s in zip(ks, stacks)
+            )
+            size //= 2
+        if not last:
+            norms = [
+                _sums_norm_inner(field, degree, k, size, s, use_pallas)
+                for k, s in zip(ks, stacks)
+            ]
+    return sums_all, chs_all, lo, hi, buf, stacks
 
 
 # --------------------------------------------------------------------------

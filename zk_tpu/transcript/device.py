@@ -73,7 +73,104 @@ _RC_LO = np.array([rc & 0xFFFFFFFF for rc in _RC], dtype=np.uint32)
 _RC_HI = np.array([rc >> 32 for rc in _RC], dtype=np.uint32)
 
 
+def _rol2(lo, hi, n: int):
+    """64-bit rotate-left by static n over a (lo, hi) uint32 half pair."""
+    n %= 64
+    if n == 0:
+        return lo, hi
+    if n == 32:
+        return hi, lo
+    if n > 32:
+        lo, hi = hi, lo
+        n -= 32
+    return (lo << n) | (hi >> (32 - n)), (hi << n) | (lo >> (32 - n))
+
+
+_ROUNDS_PER_KERNEL = 6  # 24-round single kernel exceeds Mosaic's
+# practical scalar-unroll compile budget; 4 kernels of 6 rounds compile
+# fast and still amortize launch latency ~6x vs one-fusion-per-op XLA
+
+
+def _rounds_kernel_pallas(lo, hi, rcs: tuple):
+    """Static subset of Keccak rounds as one Pallas kernel of unrolled
+    scalar ops (state in SMEM — 25 uint32 lane-half pairs)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(lo_ref, hi_ref, olo_ref, ohi_ref):
+        a_lo = [lo_ref[i] for i in range(25)]
+        a_hi = [hi_ref[i] for i in range(25)]
+        for rc in rcs:
+            c_lo = [
+                a_lo[x] ^ a_lo[x + 5] ^ a_lo[x + 10] ^ a_lo[x + 15] ^ a_lo[x + 20]
+                for x in range(5)
+            ]
+            c_hi = [
+                a_hi[x] ^ a_hi[x + 5] ^ a_hi[x + 10] ^ a_hi[x + 15] ^ a_hi[x + 20]
+                for x in range(5)
+            ]
+            for x in range(5):
+                rl, rh = _rol2(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
+                d_lo = c_lo[(x - 1) % 5] ^ rl
+                d_hi = c_hi[(x - 1) % 5] ^ rh
+                for y in range(5):
+                    a_lo[x + 5 * y] = a_lo[x + 5 * y] ^ d_lo
+                    a_hi[x + 5 * y] = a_hi[x + 5 * y] ^ d_hi
+            b_lo = [None] * 25
+            b_hi = [None] * 25
+            for x in range(5):
+                for y in range(5):
+                    rl, rh = _rol2(a_lo[x + 5 * y], a_hi[x + 5 * y], _ROT[x][y])
+                    b_lo[y + 5 * ((2 * x + 3 * y) % 5)] = rl
+                    b_hi[y + 5 * ((2 * x + 3 * y) % 5)] = rh
+            a_lo = [
+                b_lo[x + 5 * y]
+                ^ (~b_lo[(x + 1) % 5 + 5 * y] & b_lo[(x + 2) % 5 + 5 * y])
+                for y in range(5)
+                for x in range(5)
+            ]
+            a_hi = [
+                b_hi[x + 5 * y]
+                ^ (~b_hi[(x + 1) % 5 + 5 * y] & b_hi[(x + 2) % 5 + 5 * y])
+                for y in range(5)
+                for x in range(5)
+            ]
+            a_lo[0] = a_lo[0] ^ np.uint32(rc & 0xFFFFFFFF)
+            a_hi[0] = a_hi[0] ^ np.uint32(rc >> 32)
+        for i in range(25):
+            olo_ref[i] = a_lo[i]
+            ohi_ref[i] = a_hi[i]
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = jax.ShapeDtypeStruct((25,), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out, out),
+        in_specs=[smem, smem],
+        out_specs=(smem, smem),
+    )(lo, hi)
+
+
+@jax.jit
+def _keccak_f1600_pallas(lo, hi):
+    """One full permutation as a chain of scalar Pallas round kernels."""
+    R = _ROUNDS_PER_KERNEL
+    for s in range(0, 24, R):
+        lo, hi = _rounds_kernel_pallas(lo, hi, tuple(_RC[s : s + R]))
+    return lo, hi
+
+
 def keccak_f1600_device(lo, hi):
+    """One permutation over (25,) uint32 lane-half arrays (Pallas kernel
+    on TPU, fused XLA vector ops elsewhere)."""
+    from zk_tpu.fields.pallas_kernels import on_tpu
+
+    if on_tpu():
+        return _keccak_f1600_pallas(lo, hi)
+    return _keccak_f1600_xla(lo, hi)
+
+
+def _keccak_f1600_xla(lo, hi):
     """One permutation over (25,) uint32 lane-half arrays."""
     lo = lo.reshape(5, 5)  # [y][x]
     hi = hi.reshape(5, 5)
