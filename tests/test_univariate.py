@@ -103,3 +103,32 @@ def test_trait_methods():
         p.partial_evaluate_selectors([([True], 1), ([True], 2)])
     with pytest.raises(ValueError):
         p.partial_evaluate_selectors([([True, False], 1)])
+
+
+def test_ntt_mul_differential():
+    # large products route through the NTT; schoolbook is the oracle
+    import random
+
+    from zk_tpu.fields import BLS12_381_FR as FR, GOLDILOCKS
+
+    rng = random.Random(7)
+    for field in (GOLDILOCKS, FR):
+        a = UP(field, [rng.randrange(field.p) for _ in range(200)])
+        b = UP(field, [rng.randrange(field.p) for _ in range(150)])
+        fast = a * b  # out_len = 349 >= _NTT_MUL_MIN -> NTT path
+        slow = a._mul_schoolbook(b)
+        assert fast == slow
+        assert fast.degree() == 348
+
+
+def test_ntt_mul_non_pow2_and_identity():
+    from zk_tpu.fields import GOLDILOCKS as G
+
+    # x^255 * x^255 = x^510 (out_len 511, padded NTT size 512)
+    xa = UP(G, [0] * 255 + [1])
+    sq = xa * xa
+    assert sq.degree() == 510
+    assert sq.coefficients == [0] * 510 + [1]
+    # small products keep the exact schoolbook tier
+    small = UP(G, [1, 2]) * UP(G, [3, 4])
+    assert small == UP(G, [3, 10, 8])

@@ -80,16 +80,51 @@ class UnivariatePolynomial:
             longer[i] = f.add(longer[i], c)
         return UnivariatePolynomial(f, longer)
 
+    # result sizes at/above this route through the NTT (host schoolbook is
+    # faster below it: the device dispatch costs ~ms while 2^14 bigint
+    # mults are sub-ms)
+    _NTT_MUL_MIN = 256
+
     def __mul__(self, other: "UnivariatePolynomial") -> "UnivariatePolynomial":
-        """Schoolbook O(n^2) product (univariate_poly.rs:186-209)."""
+        """Polynomial product (univariate_poly.rs:186-209).
+
+        The reference is schoolbook O(n^2); the output is fully determined
+        by the ring, so large products route through the NTT instead
+        (evaluate-pointwise-interpolate, O(n log n) on device) whenever the
+        field's 2-adic subgroup is big enough.  Same values either way
+        (differential-tested), schoolbook stays as the small-case tier and
+        the oracle."""
         if self.is_zero() or other.is_zero():
             return UnivariatePolynomial(self.field, [])
+        out_len = self.degree() + other.degree() + 1
+        if out_len >= self._NTT_MUL_MIN:
+            n = 1 << (out_len - 1).bit_length()
+            if n.bit_length() - 1 <= self.field.two_adicity:
+                return self._mul_ntt(other, n, out_len)
+        return self._mul_schoolbook(other)
+
+    def _mul_schoolbook(self, other: "UnivariatePolynomial") -> "UnivariatePolynomial":
         f = self.field
         out = [0] * (self.degree() + other.degree() + 1)
         for i, a in enumerate(self.coefficients):
             for j, b in enumerate(other.coefficients):
                 out[i + j] = (out[i + j] + a * b) % f.p
         return UnivariatePolynomial(f, out)
+
+    def _mul_ntt(
+        self, other: "UnivariatePolynomial", n: int, out_len: int
+    ) -> "UnivariatePolynomial":
+        """Negacyclic-free convolution: NTT both inputs zero-padded to n
+        (>= out_len, so no wraparound), pointwise Montgomery multiply on
+        device, inverse NTT."""
+        from zk_tpu.fields import device as dev
+        from zk_tpu.ntt import intt_device, ntt_device
+
+        f = self.field
+        a = dev.encode_ints(f, self.coefficients + [0] * (n - len(self.coefficients)))
+        b = dev.encode_ints(f, other.coefficients + [0] * (n - len(other.coefficients)))
+        prod = dev.mont_mul(f, ntt_device(f, a), ntt_device(f, b))
+        return UnivariatePolynomial(f, dev.decode_ints(f, intt_device(f, prod))[:out_len])
 
     def __eq__(self, other) -> bool:
         return (
