@@ -201,6 +201,111 @@ def _fold_multi_pallas(field: Field, k: int, n: int, f: int, stack, rs):
     )(*([stack] * F), rs)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _block_sums_pallas(field: Field, F: int, n: int, stack):
+    """F block sums (by the leading log2(F) index bits) of a (1, L, n)
+    Montgomery stack -> (F, L, block) relaxed uint32 accumulators
+    (_norm_block rows).  Grid step i accumulates its tile into row
+    i // (grid/F); rows are visited consecutively, so the revisited
+    output block stays resident in VMEM (standard Pallas reduction).
+
+    These F sums determine the next log2(F) sumcheck round polynomials
+    without re-reading the table: sums and folds commute exactly mod p
+    (the fold is linear in the challenge), so p_j(0)/p_j(1) are lerps of
+    block-sum halves — see _prove_chain's super-round phase.
+
+    Bound: each row accumulates grid/F <= MAX_GRID tiles of proper
+    Montgomery limbs (< 2^16), keeping every lane < 2^31."""
+    L = field.n_limbs
+    block = min(BLOCK, n // F)
+    grid = n // block
+    rows_per = grid // F
+    assert rows_per >= 1 and rows_per <= MAX_GRID and grid % F == 0
+
+    def kernel(x_ref, acc_ref):
+        @pl.when(pl.program_id(0) % rows_per == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for i in range(L):
+            acc_ref[0, i, :] += x_ref[0, i]
+
+    in_spec = pl.BlockSpec((1, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(
+        (1, L, block), lambda i, rp=rows_per: (i // rp, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((F, L, block), jnp.uint32),
+        grid=(grid,),
+        in_specs=[in_spec],
+        out_specs=acc_spec,
+    )(stack)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _fold_multi_sums_pallas(field: Field, n: int, f: int, F_out: int, stack, rs):
+    """Single-factor _fold_multi_pallas that ALSO emits the folded
+    table's F_out block sums in the same HBM pass (the next super-round's
+    round-poly inputs — see _prove_chain).
+
+    stack: (1, L, n); rs: (L, f) Montgomery fold scalars.  Returns
+    (folded (1, L, n >> f), acc (F_out, L, block) relaxed accumulators).
+    """
+    L = field.n_limbs
+    Fin = 1 << f
+    out_n = n >> f
+    block = min(BLOCK, out_n // F_out)
+    grid = out_n // block
+    rows_per = grid // F_out
+    assert rows_per >= 1 and rows_per <= MAX_GRID and grid % F_out == 0
+
+    def kernel(*refs):
+        ins = refs[:Fin]
+        rs_ref = refs[Fin]
+        o_ref = refs[Fin + 1]
+        acc_ref = refs[Fin + 2]
+
+        @pl.when(pl.program_id(0) % rows_per == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        tiles = [[ins[j][0, i] for i in range(L)] for j in range(Fin)]
+        m = Fin
+        for l in range(f):
+            r = [rs_ref[i, l : l + 1] for i in range(L)]
+            tiles = [
+                lm.lerp(field, tiles[j], tiles[j + m // 2], r)
+                for j in range(m // 2)
+            ]
+            m //= 2
+        for i in range(L):
+            o_ref[0, i] = tiles[0][i]
+            acc_ref[0, i, :] += tiles[0][i]
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, L, block), lambda i, j=j, g=grid: (0, 0, i + j * g), memory_space=pltpu.VMEM
+        )
+        for j in range(Fin)
+    ]
+    in_specs.append(pl.BlockSpec((L, f), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    o_spec = pl.BlockSpec((1, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(
+        (1, L, block), lambda i, rp=rows_per: (i // rp, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, L, out_n), jnp.uint32),
+            jax.ShapeDtypeStruct((F_out, L, block), jnp.uint32),
+        ),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(o_spec, acc_spec),
+    )(*([stack] * Fin), rs)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _fold_halfsums_pallas(field: Field, n: int, stack, r):
     """Single-factor degree-1 fused round step: fold the (1, L, n) stack
@@ -417,6 +522,9 @@ def decode_relaxed_sums(field: Field, sums) -> list[int]:
 
 _PALLAS_MIN = 2048  # below this, jnp graphs beat tiny pallas launches
 
+_SUPER_F = 4  # variables per super-round (block-sum Fiat-Shamir phase)
+_SUPER_MIN_OUT = 128  # smallest fold-pass output tile (one lane row)
+
 
 def _norm_block(raw):
     """(D+1, L, block) relaxed accumulators (< 2^31) -> (D+1, L+1).
@@ -489,23 +597,26 @@ def _fold_stack_inner(field: Field, k: int, n: int, stack, r, use_pallas: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _limb_weight_consts(field: Field) -> np.ndarray:
-    """(L, L+1): column j = canonical limbs of 2^(16 j) mod p.  With
-    mont_mul, limb j of a relaxed accumulator contributes
-    a_j * 2^(16 j) * R^-1 — summing un-scales the Montgomery factor of
-    the accumulated representatives in the same pass."""
+def _limb_weight_consts(field: Field, mont_out: bool = False) -> np.ndarray:
+    """(L, L+1): column j = canonical limbs of 2^(16 j) mod p (times R
+    when mont_out).  With mont_mul, limb j of a relaxed accumulator
+    contributes a_j * 2^(16 j) * R^-1 — summing un-scales the Montgomery
+    factor of the accumulated representatives in the same pass
+    (mont_out=True keeps that factor, yielding Montgomery-form sums)."""
     L = field.n_limbs
     out = np.zeros((L, L + 1), dtype=np.uint32)
+    scale = field.R if mont_out else 1
     for j in range(L + 1):
-        out[:, j] = lm.np_limbs(pow(2, LIMB_BITS * j, field.p), L)
+        out[:, j] = lm.np_limbs((pow(2, LIMB_BITS * j, field.p) * scale) % field.p, L)
     return out
 
 
-def _canon_sums(field: Field, norm):
+def _canon_sums(field: Field, norm, mont_out: bool = False):
     """(C, L+1) relaxed uint32 limbs (value = sum of Montgomery reps) ->
-    (L, C) canonical true sums.  Each relaxed limb (< 2^32) becomes a
-    2-limb field element; one batched mont_mul against the 2^(16 j)
-    weights both positions it and divides by R.  Requires p > 2^32."""
+    (L, C) true sums, canonical (default) or Montgomery (mont_out).  Each
+    relaxed limb (< 2^32) becomes a 2-limb field element; one batched
+    mont_mul against the 2^(16 j) weights both positions it and divides
+    by R.  Requires p > 2^32."""
     assert field.p > (1 << 32)
     C, L1 = norm.shape
     L = field.n_limbs
@@ -516,9 +627,9 @@ def _canon_sums(field: Field, norm):
         .at[1]
         .set(norm >> _B)
     )
-    w = jnp.asarray(_limb_weight_consts(field))[:, None, :]  # (L, 1, L+1)
+    w = jnp.asarray(_limb_weight_consts(field, mont_out))[:, None, :]  # (L, 1, L+1)
     prods = dev.mont_mul(field, a, w)  # (L, C, L+1)
-    return dev.sum_mod(field, prods, axis=-1)  # (L, C) canonical
+    return dev.sum_mod(field, prods, axis=-1)  # (L, C)
 
 
 def _transcript_round_impl(field: Field, degree: int, pos: int, lo, hi, buf, norms):
@@ -545,6 +656,31 @@ def _transcript_round_impl(field: Field, degree: int, pos: int, lo, hi, buf, nor
 _transcript_round = functools.partial(jax.jit, static_argnums=(0, 1, 2))(
     _transcript_round_impl
 )
+
+
+def _mini_round(field: Field, pos: int, lo, hi, buf, bs):
+    """One degree-1 Fiat-Shamir round computed from Montgomery BLOCK sums
+    instead of the table: p(0)/p(1) are the sums of the first/second half
+    of bs (L, m), the challenge is squeezed, and bs folds to (L, m/2) —
+    exactly the values a table-level round would produce, because modular
+    sums commute with the (linear) fold.  Tiny-tensor work only; the
+    table itself is untouched (see _prove_chain's super-round phase).
+
+    Returns (lo, hi, buf, total (L, 2) canonical, challenge canonical
+    (L, 1), challenge Montgomery (L, 1), folded bs)."""
+    from zk_tpu.transcript import device as tdev
+
+    m = bs.shape[-1]
+    left, right = bs[:, : m // 2], bs[:, m // 2 :]
+    p0 = dev.sum_mod(field, left, -1)[:, None] if m > 2 else left
+    p1 = dev.sum_mod(field, right, -1)[:, None] if m > 2 else right
+    total = dev.from_mont(field, jnp.concatenate([p0, p1], axis=-1))  # (L, 2)
+    data = tdev.serialize_canonical(field, total)
+    lo, hi, buf, pos2 = tdev.absorb(lo, hi, buf, pos, data)
+    lo, hi, buf, _pos3, digest = tdev.sample_challenge(lo, hi, buf, pos2)
+    ch_mont, ch_canon = tdev.challenge_from_digest(field, digest)
+    bs2 = dev.lerp(field, left, right, ch_mont) if m > 1 else bs
+    return lo, hi, buf, total, ch_canon, ch_mont, bs2
 
 
 @functools.partial(
@@ -578,15 +714,85 @@ def _prove_chain(
     donated).  Returns (per-round sums [(L, D+1) canonical], per-round
     challenges [(L, 1) canonical], lo, hi, buf, final stacks) where the
     final stacks are folded past the last round iff fold_last (the host
-    tail continues from them)."""
+    tail continues from them).
+
+    Degree-1 single-factor proofs run SUPER-ROUNDS while the table is
+    large: one HBM pass computes 2^f block sums (by leading index bits),
+    f Fiat-Shamir rounds then run entirely on those sums (_mini_round —
+    sums commute with the linear fold, so the round polys are bit-exact),
+    and ONE multi-variable fold pass applies all f challenges while
+    emitting the NEXT super-round's block sums.  Table traffic drops from
+    ~3n (read+write per single-variable round, geometric) to ~2n total,
+    with 4x fewer large kernel launches and the same multiply count."""
     size = n
-    norms = [
-        _sums_norm_inner(field, degree, k, size, s, use_pallas)
-        for k, s in zip(ks, stacks)
-    ]
     sums_all, chs_all = [], []
     p = pos
-    for rnd in range(rounds):
+    r_done = 0
+    if degree == 1 and ks == (1,) and use_pallas:
+        F = 1 << _SUPER_F
+        stack = stacks[0]
+        normF = None
+        while r_done < rounds:
+            f_eff = min(_SUPER_F, rounds - r_done)
+            out_n = size >> f_eff
+            last = r_done + f_eff == rounds
+            # continuation needs F block-sum rows in the fold pass's
+            # output grid; a final fold pass only needs one 128-lane tile
+            if out_n < _SUPER_MIN_OUT * (1 if last else F):
+                break  # remaining rounds: general per-round loop below
+            if normF is None:
+                normF = _norm_block(_block_sums_pallas(field, F, size, stack))
+            bs = _canon_sums(field, normF, mont_out=True)  # (L, F) Montgomery
+            ch_monts = []
+            for _ in range(f_eff):
+                lo, hi, buf, total, ch_canon, ch_mont, bs = _mini_round(
+                    field, p, lo, hi, buf, bs
+                )
+                p = 32
+                sums_all.append(total)
+                chs_all.append(ch_canon)
+                ch_monts.append(ch_mont)
+            r_done += f_eff
+            rs = jnp.concatenate(ch_monts, axis=-1)  # (L, f_eff)
+            if last and not fold_last:
+                if f_eff > 1:  # fold all but the final round's variable
+                    stack = _fold_multi_pallas(
+                        field, 1, size, f_eff - 1, stack, rs[:, : f_eff - 1]
+                    )
+                    size >>= f_eff - 1
+                normF = None
+            elif last:
+                stack = _fold_multi_pallas(field, 1, size, f_eff, stack, rs)
+                size = out_n
+                normF = None
+            else:
+                stack, acc = _fold_multi_sums_pallas(field, size, f_eff, F, stack, rs)
+                size = out_n
+                normF = _norm_block(acc)
+        stacks = (stack,)
+        if r_done == rounds:
+            return sums_all, chs_all, lo, hi, buf, stacks
+        if normF is not None:
+            # seed the general loop's first round sums from the block sums
+            # (relaxed rows add exactly: each entry < 2^27, F/2 <= 8 terms)
+            norms = [
+                jnp.stack(
+                    [
+                        jnp.sum(normF[: F // 2], axis=0, dtype=U32),
+                        jnp.sum(normF[F // 2 :], axis=0, dtype=U32),
+                    ]
+                )
+            ]
+        else:
+            norms = [
+                _sums_norm_inner(field, degree, 1, size, stack, use_pallas)
+            ]
+    else:
+        norms = [
+            _sums_norm_inner(field, degree, k, size, s, use_pallas)
+            for k, s in zip(ks, stacks)
+        ]
+    for rnd in range(r_done, rounds):
         lo, hi, buf, total, ch_canon, ch_mont = _transcript_round_impl(
             field, degree, p, lo, hi, buf, tuple(norms)
         )
