@@ -159,16 +159,23 @@ class GKRProver:
         inputs: list[int],
         tail_size: int | None = None,
         device_transcript: bool | None = None,
+        mesh=None,
     ) -> tuple[GKRProof, list[jnp.ndarray]]:
         """Prove circuit(inputs) = outputs; returns (proof, device wire
         levels).  Linear-time prover: witness generation, wiring tables,
         and W evaluations all run on device; each layer is two chained
         k-round sumchecks over O(2^k)-size tables (zk_tpu.gkr.device)
         whose round polynomials — and therefore the whole proof — are
-        byte-identical to the dense O(4^k) path (prove_dense)."""
+        byte-identical to the dense O(4^k) path (prove_dense).
+
+        With a mesh, witness generation runs gate-sharded under GSPMD
+        and every layer sumcheck large enough to split runs through
+        ShardedSumcheckProver (shard-local folds + one psum per round) —
+        the emitted proof bytes are identical to the single-chip path,
+        so sharding stays invisible to the verifier."""
         from zk_tpu.gkr import device as gdev
 
-        levels = gdev.evaluate_device(circuit, field, inputs)
+        levels = gdev.evaluate_device(circuit, field, inputs, mesh=mesh)
         outputs = dev.decode_ints(field, levels[0])[: len(circuit.layers[0])]
 
         transcript = Transcript()
@@ -182,16 +189,30 @@ class GKRProver:
             w_dev = levels[i + 1]
             eq_r = gdev.eq_table(field, r)
 
+            use_mesh = mesh is not None and (1 << k_in) >= 2 * mesh.devices.size
+
             # phase 1: sum over b of G1(b) W(b) + A2(b) — binds the claim
             poly1 = gdev.build_phase1(field, circuit, i, eq_r, w_dev)
-            proof1, u = SumcheckProver._prove_internal(
-                poly1,
-                m,
-                transcript,
-                max_var_degree=2,
-                tail_size=tail_size,
-                device_transcript=device_transcript,
-            )
+            if use_mesh:
+                from zk_tpu.parallel import ShardedSumcheckProver
+
+                proof1, u = ShardedSumcheckProver._prove_internal(
+                    mesh,
+                    poly1,
+                    m,
+                    transcript,
+                    max_var_degree=2,
+                    device_transcript=device_transcript,
+                )
+            else:
+                proof1, u = SumcheckProver._prove_internal(
+                    poly1,
+                    m,
+                    transcript,
+                    max_var_degree=2,
+                    tail_size=tail_size,
+                    device_transcript=device_transcript,
+                )
             if proof1.round_polys:
                 last = UnivariatePolynomial.interpolate(field, proof1.round_polys[-1])
                 m2 = last.evaluate(u[-1])
@@ -200,15 +221,26 @@ class GKRProver:
 
             # phase 2: sum over c with b fixed at u (claim already bound)
             poly2, _wu = gdev.build_phase2(field, circuit, i, eq_r, u, w_dev)
-            proof2, v = SumcheckProver._prove_internal(
-                poly2,
-                m2,
-                transcript,
-                max_var_degree=2,
-                tail_size=tail_size,
-                device_transcript=device_transcript,
-                bind_sum=False,
-            )
+            if use_mesh:
+                proof2, v = ShardedSumcheckProver._prove_internal(
+                    mesh,
+                    poly2,
+                    m2,
+                    transcript,
+                    max_var_degree=2,
+                    device_transcript=device_transcript,
+                    bind_sum=False,
+                )
+            else:
+                proof2, v = SumcheckProver._prove_internal(
+                    poly2,
+                    m2,
+                    transcript,
+                    max_var_degree=2,
+                    tail_size=tail_size,
+                    device_transcript=device_transcript,
+                    bind_sum=False,
+                )
             proof = SumcheckProof(
                 sum=m, round_polys=proof1.round_polys + proof2.round_polys
             )

@@ -127,9 +127,67 @@ def _layer_eval(field: Field, pad_to: int, cur, left_idx, right_idx, is_add):
     return vals
 
 
-def evaluate_device(circuit, field: Field, inputs: list[int]) -> list[jnp.ndarray]:
+@functools.lru_cache(maxsize=None)
+def _sharded_layer_fn(field: Field, mesh):
+    """Cached jitted shard_map layer evaluator for one (field, mesh):
+    gate wiring is sharded along the gate/output axis, the lower level is
+    replicated, so each device gathers and computes only its gate shard
+    with plain local ops; out_specs re-replicates the result for the next
+    layer's gathers (one all-gather per layer over the mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("x"), P("x"), P("x"), P("x")),
+        out_specs=P(None, "x"),
+    )
+    def f(cur, left_idx, right_idx, is_add, valid):
+        lv = cur[:, left_idx]
+        rv = cur[:, right_idx]
+        vals = jnp.where(
+            is_add[None, :], dev.add_mod(field, lv, rv), dev.mont_mul(field, lv, rv)
+        )
+        return jnp.where(valid[None, :], vals, jnp.zeros_like(vals))
+
+    return f
+
+
+def _layer_eval_sharded(field: Field, mesh, pad_to: int, cur, left, right, is_add):
+    """One circuit layer over the mesh: wiring padded to the 2^k output
+    width and sharded on the gate axis; padded slots compute garbage that
+    the validity mask zeroes (matching _layer_eval's zero padding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = len(left)
+    shard = NamedSharding(mesh, P("x"))
+    cur = jax.device_put(cur, NamedSharding(mesh, P()))  # replicate lower level
+    lp = np.zeros(pad_to, dtype=np.int32)
+    rp = np.zeros(pad_to, dtype=np.int32)
+    ap = np.zeros(pad_to, dtype=bool)
+    vp = np.zeros(pad_to, dtype=bool)
+    lp[:n], rp[:n], ap[:n], vp[:n] = left, right, is_add, True
+    out = _sharded_layer_fn(field, mesh)(
+        cur,
+        jax.device_put(jnp.asarray(lp), shard),
+        jax.device_put(jnp.asarray(rp), shard),
+        jax.device_put(jnp.asarray(ap), shard),
+        jax.device_put(jnp.asarray(vp), shard),
+    )
+    # re-replicate for the next layer's (arbitrary-wiring) gathers —
+    # the one all-gather per layer this evaluation strategy pays
+    return jax.device_put(out, NamedSharding(mesh, P()))
+
+
+def evaluate_device(circuit, field: Field, inputs: list[int], mesh=None) -> list[jnp.ndarray]:
     """Wire values per level as (L, 2^k) Montgomery tensors, output level
-    first (device analog of Circuit.evaluate — same padding, gkr/circuit.py)."""
+    first (device analog of Circuit.evaluate — same padding, gkr/circuit.py).
+
+    With a mesh, layers whose padded width divides across the mesh run
+    gate-sharded under GSPMD (one all-gather per layer to re-replicate
+    the wire vector for the next layer's gathers); values are identical
+    to the single-device path."""
     if len(inputs) != circuit.n_inputs:
         raise ValueError("wrong number of inputs")
     padded = [v for v in inputs] + [0] * (
@@ -140,14 +198,18 @@ def evaluate_device(circuit, field: Field, inputs: list[int]) -> list[jnp.ndarra
     levels[circuit.depth] = cur
     for i in range(circuit.depth - 1, -1, -1):
         left, right, is_add, _, _ = circuit.wiring(i)
-        cur = _layer_eval(
-            field,
-            1 << circuit.layer_k(i),
-            cur,
-            jnp.asarray(left),
-            jnp.asarray(right),
-            jnp.asarray(is_add),
-        )
+        pad_to = 1 << circuit.layer_k(i)
+        if mesh is not None and pad_to % mesh.devices.size == 0:
+            cur = _layer_eval_sharded(field, mesh, pad_to, cur, left, right, is_add)
+        else:
+            cur = _layer_eval(
+                field,
+                pad_to,
+                cur,
+                jnp.asarray(left),
+                jnp.asarray(right),
+                jnp.asarray(is_add),
+            )
         levels[i] = cur
     return levels
 

@@ -212,10 +212,15 @@ class ShardedSumcheckProver:
         transcript: Transcript,
         max_var_degree: int | None = None,
         device_transcript: bool | None = None,
+        bind_sum: bool = True,
     ) -> tuple[SumcheckProof, list[int]]:
+        """bind_sum=False skips the claimed-sum transcript binding — used
+        by the two-phase (Libra) GKR prover, whose second phase continues
+        a sumcheck already bound (see SumcheckProver._prove_internal)."""
         field: Field = poly.field
         degree = max_var_degree if max_var_degree is not None else poly.max_degree
-        transcript.append(field.to_bytes_be(sum))
+        if bind_sum:
+            transcript.append(field.to_bytes_be(sum))
         if device_transcript is None:
             from zk_tpu.fields.pallas_kernels import on_tpu
 

@@ -52,57 +52,51 @@ def _fold_kernel(field: Field, n_vars: int, initial_var: int, k: int, data, rs):
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
-def _fold_chain_kernel(field: Field, n: int, k: int, x, rs_dev):
-    """The ENTIRE k-step fold chain as one compiled program: Pallas fold
-    kernels while the table is large, the jnp reshape+lerp ladder for the
-    small tail.  x: (1, L, n) donated Montgomery limbs; rs_dev: (k, L)
-    Montgomery fold scalars.  Returns (L, 2^(log2 n - k)).
-
-    One program = ONE dispatch: on the tunneled chip each launch costs
-    ~1.5 ms of host->device latency, so a per-fold dispatch chain is
-    launch-bound (~24 launches at 2^24) while this is compute-bound.
-    """
-    from zk_tpu.sumcheck import kernels as K
-
-    L = field.n_limbs
-    i = 0
-    while i < k and n >= K._PALLAS_MIN:
-        # fold up to 4 variables per kernel pass: the chain is HBM-bound,
-        # and an f-variable pass streams the table once instead of f times
-        # (same multiply count — the lerp tree runs on registers)
-        f = min(4, k - i, n.bit_length() - 1 - 7)  # keep out_n >= 128 lanes
-        f = max(f, 1)
-        rs = rs_dev[i : i + f].T  # (L, f)
-        x = K._fold_multi_pallas(field, 1, n, f, x, rs)
-        n >>= f
-        i += f
-    out = x[0]
-    if i < k:
-        n_vars = n.bit_length() - 1
-        out = _fold_kernel(field, n_vars, 0, k - i, out, rs_dev[i:])
-    return out
-
-
 def _fold_var0_fast(field: Field, data, assignments: list[int]):
     """TPU fast path for consecutive var-0 folds: ONE host->device upload
-    of all fold scalars, ONE fused dispatch for the whole fold chain
-    (_fold_chain_kernel) — the caller's eventual decode is the only
-    round-trip.  Returns the folded (L, 2^(n-k)) tensor, or None to use
-    the jnp ladder.
+    of all fold scalars, then a chain of async in-place capacity-kernel
+    dispatches (zk_tpu.sumcheck.capacity._fold_multi_cap) folding up to 4
+    variables per HBM pass, with the jnp reshape+lerp ladder for the
+    small tail — the caller's eventual decode is the only round-trip.
+    Returns the folded (L, 2^(n-k)) tensor, or None to use the jnp
+    ladder.
+
+    The capacity kernels take the live table size as a scalar-prefetch
+    operand with a dynamic grid, so every pass of the chain (and every
+    future prove at this table size) reuses ONE compiled kernel —
+    dispatch enqueue is ~30us, so the chain stays launch-cheap without
+    fusing it into one giant program (which cost ~70s of cold tracing in
+    round 2).
     """
     from zk_tpu.fields.pallas_kernels import on_tpu
+    from zk_tpu.sumcheck import capacity as C
 
     n = data.shape[-1]
-    if not on_tpu() or n < 4:
+    if not on_tpu() or n < 2 * C.BLOCK:
         return None
     L = field.n_limbs
-    rs = np.empty((len(assignments), L), dtype=np.uint32)
+    k = len(assignments)
+    rs = np.empty((k, L), dtype=np.uint32)
     for i, a in enumerate(assignments):
         rs[i] = dev.const_limbs(field, a)
     rs_dev = jnp.asarray(rs)  # single upload
-    # data[None] materializes a fresh (1, L, n) buffer, safe to donate
-    return _fold_chain_kernel(field, n, len(assignments), data[None], rs_dev)
+    # reshape materializes a fresh (1, L, n) buffer — the chain folds it
+    # in place (donated + pallas-aliased) without touching `data`
+    stack = jnp.reshape(data, (1, L, n))
+    size, i = n, 0
+    while i < k and size >= 2 * C.BLOCK:
+        # fold up to 4 variables per pass (lerp tree on registers: same
+        # multiply count as single folds, ~4x less HBM traffic), keeping
+        # the output at least one BLOCK of lanes
+        f = min(4, k - i, size.bit_length() - 1 - (C.BLOCK.bit_length() - 1))
+        f = max(f, 1)
+        stack = C._fold_multi_cap(field, f, n, size, stack, rs_dev[i : i + f].T)
+        size >>= f
+        i += f
+    out = stack[0, :, :size]
+    if i < k:
+        out = _fold_kernel(field, size.bit_length() - 1, 0, k - i, out, rs_dev[i:])
+    return out
 
 
 class MLE:

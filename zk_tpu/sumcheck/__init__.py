@@ -199,11 +199,11 @@ class SumcheckProver:
             device_transcript = use_pallas and field.p > (1 << 32)
 
         if device_transcript and field.p > (1 << 32) and size > tail and n_vars > 0:
-            # -- device-resident Fiat-Shamir: ALL device rounds run as ONE
-            # compiled program (kernels._prove_chain); ONE device_get at
-            # the end pulls every round poly + challenge (and the sponge
-            # state for the tail).
-            from zk_tpu.sumcheck import kernels as K
+            # -- device-resident Fiat-Shamir: every device round is an
+            # ASYNC dispatch (capacity kernels + on-device sponge); ONE
+            # device_get at the end pulls every round poly + challenge
+            # (and the sponge state for the tail).
+            from zk_tpu.sumcheck import capacity as C
             from zk_tpu.transcript import device as tdev
 
             lanes, pend = transcript.export_state()
@@ -211,36 +211,32 @@ class SumcheckProver:
             pos = len(pend)
             stacks = [jnp.stack(term) for term in terms]
             ks = tuple(s.shape[0] for s in stacks)
-            # with the whole round loop in one compiled program the host
-            # tail no longer saves dispatches, so run nearly every round
-            # on device (at 2^24: 57 ms vs 84 ms with the 2048 host tail —
-            # the tail's Python bigint rounds cost more than the extra
-            # chain stages).  The last few sub-128 rounds DO stay on host:
-            # below the fused-kernel floor each device round is hundreds
-            # of tiny XLA ops, pricier than ~250 host bigint mults.  An
-            # explicit tail_size always wins (tier-differential tests).
+            # run nearly every round on device; the last few sub-128
+            # rounds stay on host — below the fused-kernel floor each
+            # device round is hundreds of tiny XLA ops, pricier than
+            # ~250 host bigint mults.  An explicit tail_size always wins
+            # (tier-differential tests).
             chain_tail = min(128, tail) if tail_size is None else tail
             rounds, s_sz = 0, size
             while s_sz > chain_tail and rounds < n_vars:
                 rounds += 1
                 s_sz //= 2
             fold_last = rounds < n_vars  # host tail continues from stacks
-            sums_dev, chall_dev, lo, hi, buf, stacks = K._prove_chain(
+            sums_dev, chall_dev, lo, hi, buf, stacks, _dev_size = C.run_device_rounds(
                 field,
                 degree,
                 ks,
-                size,
+                stacks,
                 rounds,
                 pos,
                 fold_last,
-                use_pallas,
-                tuple(stacks),
                 lo,
                 hi,
                 buf,
+                use_pallas,
             )
             pos = 32
-            size = s_sz
+            size = s_sz  # == _dev_size whenever the host tail runs
 
             # single sync point: round data + sponge state back to host.
             # The state import keeps the caller's Transcript current even
@@ -269,9 +265,14 @@ class SumcheckProver:
             else:
                 return SumcheckProof(sum=sum, round_polys=round_polys), challenges
         elif use_pallas and size > tail:
-            # device rounds with ONE fused fold+sums dispatch per round;
-            # the sums device_get is the only per-round sync point
+            # per-round-synced device tier (device_transcript=False): the
+            # sums device_get + host Keccak per round are the sync points.
+            # Differential tier for the device-resident sponge above.
+            from zk_tpu.sumcheck import capacity as C
+
             stacks = [jnp.stack(term) for term in terms]
+            ks = tuple(s.shape[0] for s in stacks)
+            cap = size
 
             def decode_round(raws):
                 totals = [0] * (degree + 1)
@@ -280,32 +281,21 @@ class SumcheckProver:
                     totals = [field.add(a, b) for a, b in zip(totals, part)]
                 return totals
 
-            def sums_only(stack, n):
-                k = stack.shape[0]
-                if degree == 1 and k == 1:
-                    return K._half_sums_relaxed(field, stack)
-                return K._round_sums_pallas(field, degree, k, n, stack)
-
-            raws = [sums_only(s, size) for s in stacks]
-            while size > tail and len(challenges) < n_vars:
+            while size >= C.CAP_MIN and size > tail and len(challenges) < n_vars:
+                raws = [
+                    C._round_sums_cap(field, degree, k, cap, size, s)
+                    for k, s in zip(ks, stacks)
+                ]
                 round_poly = decode_round(raws)
                 transcript.append(field.elements_to_bytes(round_poly))
                 challenge = transcript.sample_field_element(field)
                 r = jnp.asarray(dev.const_limbs(field, challenge)).reshape(
                     field.n_limbs, 1
                 )
-                if size // 2 > tail:
-                    pairs = [
-                        K._fold_then_sums(field, degree, s.shape[0], size, s, r)
-                        for s in stacks
-                    ]
-                    stacks = [p[0] for p in pairs]
-                    raws = [p[1] for p in pairs]
-                else:
-                    stacks = [
-                        K._fold_pallas(field, s.shape[0], size, s, r)
-                        for s in stacks
-                    ]
+                stacks = [
+                    C._fold_cap(field, k, cap, size, s, r)
+                    for k, s in zip(ks, stacks)
+                ]
                 round_polys.append(round_poly)
                 challenges.append(challenge)
                 size //= 2
@@ -314,7 +304,7 @@ class SumcheckProver:
                 field,
                 [
                     [
-                        dev.decode_ints(field, stack[t_i])
+                        dev.decode_ints(field, stack[t_i][:, :size])
                         for t_i in range(stack.shape[0])
                     ]
                     for stack in stacks
