@@ -71,9 +71,13 @@ r = jnp.ones((FR.n_limbs, 1), jnp.uint32)
 
 t = timeit("mont_mul 2^22", lambda: jax.device_get(mont_mul_pallas(FR, a, b)[:, :1]))
 print(f"  -> {M/t/1e9:.2f} G mults/s")
+from zk_tpu.sumcheck import capacity as C
+
 stack = jnp.stack([jnp.concatenate([a, b], axis=-1)])
 t = timeit(
-    "fold (lerp) 2^22 pairs",
-    lambda: jax.device_get(K._fold_pallas(FR, 1, 2 * M, stack, r)[:, :, :1]),
+    "fold (lerp) 2^22 pairs (capacity kernel, in-place)",
+    lambda: jax.device_get(
+        C._fold_cap(FR, 1, 2 * M, 2 * M, stack + jnp.uint32(0), r)[:, :, :1]
+    ),
 )
 print(f"  -> {M/t/1e9:.2f} G lerps/s")

@@ -14,22 +14,32 @@ that's bench.py's job.
 
 import os
 
+# ZK_TPU_TEST_TPU=1 runs the suite against the real (axon-tunneled) TPU
+# instead of the simulated CPU mesh — used for the TPU-gated Pallas-tier
+# tests (tests/test_pallas_kernels.py), which auto-skip on CPU.
+_REAL_TPU = os.environ.get("ZK_TPU_TEST_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _REAL_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zk_tpu_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 # This image's XLA:CPU backend segfaults sporadically while COMPILING
 # large unrolled limb graphs (crash inside backend_compile_and_load;
 # machine-feature mismatch between the bundled CPU AOT pipeline and this
 # host).  Tests only check values, so drop the heavy optimization passes:
 # compiles are faster and avoid the crashing pass.  Bench/TPU runs are
 # unaffected (this file is test-only).
-jax.config.update("jax_disable_most_optimizations", True)
+if not _REAL_TPU:
+    jax.config.update("jax_disable_most_optimizations", True)
 # The persistent compilation cache is OFF by default: on this image its
 # write path segfaults deterministically when serializing the large
 # unrolled limb executables from a cold cache dir (JAX cache bug, not our

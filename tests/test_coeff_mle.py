@@ -326,3 +326,19 @@ def test_to_bytes_layout():
     assert blob[12:20] == F17.to_bytes_be(2)
     assert blob[20:28] == (2).to_bytes(8, "big")
     assert blob[28:36] == F17.to_bytes_be(3)
+
+
+def test_multiplicative_identity():
+    """coefficient_form.rs test_multiplicative_identity."""
+    p = poly_5ab_7bc_8d()
+    mult_identity = CM.multiplicative_identity(F17)
+    r = p * mult_identity
+    assert r.n_vars == p.n_vars and r.coefficients == p.coefficients
+
+
+def test_additive_identity():
+    """coefficient_form.rs test_additive_identity."""
+    p = poly_5ab_7bc_8d()
+    add_identity = CM.additive_identity(F17)
+    r = p + add_identity
+    assert r.n_vars == p.n_vars and r.coefficients == p.coefficients

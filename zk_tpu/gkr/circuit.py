@@ -42,12 +42,62 @@ def _k_for(size: int) -> int:
     return (size - 1).bit_length()
 
 
+class _ArrayLayer:
+    """A gate layer backed by numpy wiring arrays instead of Gate objects
+    — sequence-compatible (len/index/iter materialize Gates lazily), so
+    million-gate benchmark circuits skip per-gate Python construction."""
+
+    __slots__ = ("left", "right", "is_add")
+
+    def __init__(self, left: np.ndarray, right: np.ndarray, is_add: np.ndarray):
+        self.left = np.asarray(left, dtype=np.int32)
+        self.right = np.asarray(right, dtype=np.int32)
+        self.is_add = np.asarray(is_add, dtype=bool)
+
+    def __len__(self) -> int:
+        return len(self.left)
+
+    def __getitem__(self, a: int) -> Gate:
+        return Gate(
+            ADD if self.is_add[a] else MUL, int(self.left[a]), int(self.right[a])
+        )
+
+    def __iter__(self):
+        for a in range(len(self)):
+            yield self[a]
+
+
 class Circuit:
     """Layered fan-in-2 arithmetic circuit.
 
     layers[0] is the output layer; gate children index into the next
     layer down (layers[i+1], or the inputs for the last layer).
     """
+
+    @classmethod
+    def from_arrays(
+        cls, layers: list[tuple[np.ndarray, np.ndarray, np.ndarray]], n_inputs: int
+    ) -> "Circuit":
+        """Build from per-layer (left, right, is_add) numpy wiring arrays
+        with vectorized validation — for circuits too large for per-gate
+        Python objects (the device prover only ever touches the arrays).
+        """
+        obj = cls.__new__(cls)
+        obj.layers = [_ArrayLayer(l, r, a) for l, r, a in layers]
+        obj.n_inputs = n_inputs
+        obj._wiring = {}
+        if not layers:
+            raise ValueError("circuit must have at least one layer")
+        if n_inputs < 1:
+            raise ValueError("circuit must have at least one input")
+        for i, layer in enumerate(obj.layers):
+            below = len(obj.layers[i + 1]) if i + 1 < len(obj.layers) else n_inputs
+            for arr in (layer.left, layer.right):
+                if len(arr) and (arr.min() < 0 or arr.max() >= below):
+                    raise ValueError(
+                        f"layer {i} gate references wire outside layer below"
+                    )
+        return obj
 
     def __init__(self, layers: list[list[Gate]], n_inputs: int):
         if not layers:
@@ -88,9 +138,12 @@ class Circuit:
         if cached is not None:
             return cached
         layer = self.layers[i]
-        left = np.array([g.left for g in layer], dtype=np.int32)
-        right = np.array([g.right for g in layer], dtype=np.int32)
-        is_add = np.array([g.op == ADD for g in layer], dtype=bool)
+        if isinstance(layer, _ArrayLayer):
+            left, right, is_add = layer.left, layer.right, layer.is_add
+        else:
+            left = np.array([g.left for g in layer], dtype=np.int32)
+            right = np.array([g.right for g in layer], dtype=np.int32)
+            is_add = np.array([g.op == ADD for g in layer], dtype=bool)
         add_idx = np.nonzero(is_add)[0].astype(np.int32)
         mul_idx = np.nonzero(~is_add)[0].astype(np.int32)
         out = (left, right, is_add, add_idx, mul_idx)
