@@ -89,7 +89,7 @@ def test_fold_cap_in_place_across_rounds(k):
     field = FR
     cap = 16384
     stack = _stack(field, k, cap, 20)
-    oracle = stack
+    oracle = jnp.array(stack, copy=True)  # folds donate `stack` in place
     r = dev.scalar(field, 0xABCDEF123)
     size = cap
     for _ in range(2):
@@ -131,8 +131,8 @@ def test_fold_multi_cap_matches_sequential(f):
     stack = _stack(field, 1, cap, 40)
     rs_ints = [1000 + i for i in range(f)]
     rs = jnp.stack([jnp.asarray(dev.const_limbs(field, v)) for v in rs_ints]).T
+    oracle = jnp.array(stack[0], copy=True)  # the fold donates `stack`
     out = C._fold_multi_cap(field, f, cap, cap, stack, rs)
-    oracle = stack[0]
     for v in rs_ints:
         half = oracle.shape[-1] // 2
         oracle = dev.lerp(field, oracle[:, :half], oracle[:, half:], dev.scalar(field, v))
@@ -168,5 +168,27 @@ def test_prover_tiers_byte_identical():
     )
     host_proof, host_ch = SumcheckProver.prove_partial(
         pp, total, max_var_degree=1, tail_size=1 << 30, device_transcript=False
+    )
+    assert dev_proof == host_proof and dev_ch == host_ch
+
+
+def test_prover_tiers_sum_of_products_byte_identical():
+    """The combined-terms capacity path (one sums kernel per round for a
+    SumOfProducts) must match the exact host-int tier byte for byte."""
+    from zk_tpu.poly import MLE, ProductPoly, SumOfProducts
+    from zk_tpu.sumcheck import SumcheckProver
+
+    n = 13
+    a = MLE.new(FR, n, _rand_table(FR, 1 << n, 70))
+    b = MLE.new(FR, n, _rand_table(FR, 1 << n, 71))
+    c = MLE.new(FR, n, _rand_table(FR, 1 << n, 72))
+    sp = SumOfProducts([ProductPoly([a, b]), ProductPoly([c])])
+    av, bv, cv = a.evaluation_ints(), b.evaluation_ints(), c.evaluation_ints()
+    total = sum(FR.add(FR.mul(x, y), z) for x, y, z in zip(av, bv, cv)) % FR.p
+    dev_proof, dev_ch = SumcheckProver.prove_partial(
+        sp, total, max_var_degree=2, device_transcript=True
+    )
+    host_proof, host_ch = SumcheckProver.prove_partial(
+        sp, total, max_var_degree=2, tail_size=1 << 30, device_transcript=False
     )
     assert dev_proof == host_proof and dev_ch == host_ch

@@ -174,25 +174,31 @@ class GKRProver:
         the emitted proof bytes are identical to the single-chip path,
         so sharding stays invisible to the verifier."""
         from zk_tpu.gkr import device as gdev
+        from zk_tpu.utils import timer
 
-        levels = gdev.evaluate_device(circuit, field, inputs, mesh=mesh)
-        outputs = dev.decode_ints(field, levels[0])[: len(circuit.layers[0])]
+        with timer("gkr witness (device circuit eval)"):
+            levels = gdev.evaluate_device(circuit, field, inputs, mesh=mesh)
+            outputs = dev.decode_ints(field, levels[0])[: len(circuit.layers[0])]
 
         transcript = Transcript()
-        transcript.append(field.elements_to_bytes(outputs))
-        r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
-        m = dev.decode_ints(field, gdev.mle_eval_points(field, levels[0], [r]))[0]
+        with timer("gkr bind outputs + r0"):
+            transcript.append(field.elements_to_bytes(outputs))
+            r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
+            m = dev.decode_ints(field, gdev.mle_eval_points(field, levels[0], [r]))[0]
 
         layer_proofs: list[LayerProof] = []
         for i in range(circuit.depth):
             k_in = circuit.layer_k(i + 1)
             w_dev = levels[i + 1]
-            eq_r = gdev.eq_table(field, r)
+            with timer(f"layer {i} eq_r table"):
+                eq_r = gdev.eq_table(field, r)
 
             use_mesh = mesh is not None and (1 << k_in) >= 2 * mesh.devices.size
 
             # phase 1: sum over b of G1(b) W(b) + A2(b) — binds the claim
-            poly1 = gdev.build_phase1(field, circuit, i, eq_r, w_dev)
+            with timer(f"layer {i} phase1 tables"):
+                poly1 = gdev.build_phase1(field, circuit, i, eq_r, w_dev)
+            t1 = timer(f"layer {i} phase1 sumcheck"); t1.__enter__()
             if use_mesh:
                 from zk_tpu.parallel import ShardedSumcheckProver
 
@@ -213,6 +219,7 @@ class GKRProver:
                     tail_size=tail_size,
                     device_transcript=device_transcript,
                 )
+            t1.__exit__(None, None, None)
             if proof1.round_polys:
                 last = UnivariatePolynomial.interpolate(field, proof1.round_polys[-1])
                 m2 = last.evaluate(u[-1])
@@ -220,7 +227,9 @@ class GKRProver:
                 m2 = m
 
             # phase 2: sum over c with b fixed at u (claim already bound)
-            poly2, _wu = gdev.build_phase2(field, circuit, i, eq_r, u, w_dev)
+            with timer(f"layer {i} phase2 tables"):
+                poly2, _wu = gdev.build_phase2(field, circuit, i, eq_r, u, w_dev)
+            t2 = timer(f"layer {i} phase2 sumcheck"); t2.__enter__()
             if use_mesh:
                 proof2, v = ShardedSumcheckProver._prove_internal(
                     mesh,
@@ -241,6 +250,7 @@ class GKRProver:
                     device_transcript=device_transcript,
                     bind_sum=False,
                 )
+            t2.__exit__(None, None, None)
             proof = SumcheckProof(
                 sum=m, round_polys=proof1.round_polys + proof2.round_polys
             )
@@ -252,7 +262,8 @@ class GKRProver:
                 [(b + t * (c - b)) % field.p for b, c in zip(b_star, c_star)]
                 for t in range(2, k_in + 1)
             ]
-            evals = dev.decode_ints(field, gdev.mle_eval_points(field, w_dev, pts))
+            with timer(f"layer {i} line restriction evals"):
+                evals = dev.decode_ints(field, gdev.mle_eval_points(field, w_dev, pts))
             w_b, w_c = evals[0], evals[1]
             q_evals = [w_b, w_c] + evals[2:] if k_in >= 1 else [w_b]
             transcript.append(field.elements_to_bytes([w_b, w_c]))

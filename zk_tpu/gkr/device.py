@@ -95,10 +95,21 @@ def _eval_points_kernel(field: Field, n_vars: int, data, rs):
 
 def mle_eval_points(field: Field, data: jnp.ndarray, points: list[list[int]]):
     """Evaluate one MLE table at many points; returns (L, P) device limbs
-    (decode with dev.decode_ints for host ints)."""
+    (decode with dev.decode_ints for host ints).
+
+    On TPU with a large table, each point runs the in-place capacity
+    fold chain (async dispatches, ~4 vars per HBM pass) instead of the
+    vmapped jnp ladder — the P chains pipeline back-to-back."""
+    from zk_tpu.fields.pallas_kernels import on_tpu
+    from zk_tpu.poly.mle import _fold_var0_fast
+
     n_vars = (data.shape[-1]).bit_length() - 1
     if n_vars == 0:
         return jnp.tile(data.reshape(field.n_limbs, 1), (1, len(points)))
+    if on_tpu() and data.shape[-1] >= 4096:
+        outs = [_fold_var0_fast(field, data, list(pt)) for pt in points]
+        if all(o is not None for o in outs):
+            return jnp.concatenate(outs, axis=1)  # (L, P)
     P = len(points)
     rs = np.empty((P, n_vars, field.n_limbs), dtype=np.uint32)
     for i, pt in enumerate(points):

@@ -145,6 +145,65 @@ def _round_sums_cap(field: Field, degree: int, k: int, cap: int, size, stack):
     )(_scalar(size), stack)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _round_sums_terms_cap(
+    field: Field, degree: int, term_ks: tuple, cap: int, size, stack
+):
+    """Round-poly sums of a SumOfProducts in ONE pass: stack holds every
+    term's factors concatenated ((sum(term_ks), L, cap)); each grid step
+    accumulates sum_t prod_{factors of t} directly — the transcript only
+    ever consumes the summed round polynomial, so fusing the terms saves
+    one kernel launch per term per round (GKR's phase polynomials are
+    2-term).  Accumulator bound: each step adds len(term_ks) canonical
+    values per lane, so the caller caps size at 2^26/len(term_ks)."""
+    L = field.n_limbs
+    consts = _point_consts(field, degree)
+
+    def outer(s_ref, t_ref, acc_ref):
+        half_tiles = s_ref[0] // (2 * BLOCK)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def inner(l_ref, r_ref):
+            for point in range(degree + 1):
+                row = 0
+                for k in term_ks:
+                    prod = None
+                    for _ in range(k):
+                        if point == 0:
+                            ev = [l_ref[row, i] for i in range(L)]
+                        elif point == 1:
+                            ev = [r_ref[row, i] for i in range(L)]
+                        else:
+                            ev = lm.lerp(
+                                field,
+                                [l_ref[row, i] for i in range(L)],
+                                [r_ref[row, i] for i in range(L)],
+                                consts[point],
+                            )
+                        prod = ev if prod is None else lm.mont_mul(field, prod, ev)
+                        row += 1
+                    for i in range(L):
+                        acc_ref[point, i, :] += prod[i]
+
+        K = sum(term_ks)
+        pltpu.emit_pipeline(
+            inner,
+            grid=(half_tiles,),
+            in_specs=_halves_specs(K, L)(half_tiles),
+        )(t_ref, t_ref)
+
+    return pl.pallas_call(
+        outer,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((degree + 1, L, BLOCK), jnp.uint32),
+    )(_scalar(size), stack)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))
 def _fold_cap(field: Field, k: int, cap: int, size, stack, r):
     """In-place fold of the live prefix at challenge r: new[e] =
@@ -360,14 +419,22 @@ def run_device_rounds(
 
     size = stacks[0].shape[-1]
     cap = size
-    if use_pallas and size > MAX_SINGLE_CHIP:
+    n_terms = len(ks)
+    if use_pallas and size * n_terms > MAX_SINGLE_CHIP:
         raise ValueError(
-            f"single-chip capacity kernels support tables up to 2^26 elements "
-            f"(relaxed-accumulator grid bound); got {size}. Shard the table "
-            f"over a mesh with zk_tpu.parallel.ShardedSumcheckProver."
+            f"single-chip capacity kernels support tables up to "
+            f"2^26/terms elements (relaxed-accumulator grid bound); got "
+            f"{size} x {n_terms} terms. Shard the table over a mesh with "
+            f"zk_tpu.parallel.ShardedSumcheckProver."
         )
     deg1 = degree == 1 and ks == (1,)
     in_cap = use_pallas and size >= CAP_MIN
+    K_total = sum(ks)
+    combined = in_cap and n_terms > 1
+    if combined:
+        # one (sum(ks), L, cap) stack: one sums kernel + one fold kernel
+        # per round regardless of term count (see _round_sums_terms_cap)
+        stacks = [jnp.concatenate(stacks, axis=0)]
     sums_all, chs_all = [], []
     pending_acc = None  # next-round sums already produced by a fused fold
     p = pos
@@ -379,10 +446,15 @@ def run_device_rounds(
                 field, degree, p, lo, hi, buf, args
             )
         elif in_cap:
-            accs = tuple(
-                _round_sums_cap(field, degree, k, cap, size, s)
-                for k, s in zip(ks, stacks)
-            )
+            if combined:
+                accs = (
+                    _round_sums_terms_cap(field, degree, ks, cap, size, stacks[0]),
+                )
+            else:
+                accs = tuple(
+                    _round_sums_cap(field, degree, k, cap, size, s)
+                    for k, s in zip(ks, stacks)
+                )
             lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap(
                 field, degree, p, lo, hi, buf, accs
             )
@@ -406,6 +478,8 @@ def run_device_rounds(
                     field, cap, size, stacks[0], ch_m
                 )
                 stacks = [folded]
+            elif combined:
+                stacks = [_fold_cap(field, K_total, cap, size, stacks[0], ch_m)]
             else:
                 stacks = [
                     _fold_cap(field, k, cap, size, s, ch_m)
@@ -415,6 +489,9 @@ def run_device_rounds(
             if size < CAP_MIN:
                 stacks = [s[:, :, :size] for s in stacks]
                 in_cap = False
+                if combined:
+                    stacks = _split_terms(stacks[0], ks)
+                    combined = False
         else:
             stacks = [
                 K._fold_stack_inner(field, k, size, s, ch_m)
@@ -423,4 +500,15 @@ def run_device_rounds(
             size //= 2
     if in_cap and size < cap:
         stacks = [s[:, :, :size] for s in stacks]
+    if combined:
+        stacks = _split_terms(stacks[0], ks)
     return sums_all, chs_all, lo, hi, buf, stacks, size
+
+
+def _split_terms(stack, ks: tuple) -> list:
+    """(sum(ks), L, n) combined stack -> per-term stacks."""
+    out, row = [], 0
+    for k in ks:
+        out.append(stack[row : row + k])
+        row += k
+    return out
