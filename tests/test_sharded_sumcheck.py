@@ -112,3 +112,28 @@ def test_sharded_device_transcript_bit_exact():
         )
         assert proof_s.round_polys == proof_1.round_polys
         assert ch_s == ch_1
+
+
+def test_multi_axis_mesh_byte_identical():
+    """Multi-host analog: a 2D ("dcn", "ici") mesh — the lane axis shards
+    over BOTH axes and the round psum reduces hierarchically.  Proof
+    bytes must match the single-device prover exactly."""
+    import random
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 simulated devices")
+    mesh2 = jax.make_mesh((2, 4), ("dcn", "ici"), devices=devices[:8])
+
+    rng = random.Random(77)
+    n = 10
+    evals = [rng.randrange(FR.p) for _ in range(1 << n)]
+    poly = MLE.new(FR, n, evals)
+    pp = ProductPoly([poly])
+    total = sum(evals) % FR.p
+
+    single, ch_s = SumcheckProver.prove_partial(pp, total, max_var_degree=1)
+    sharded, ch_m = ShardedSumcheckProver.prove_partial(
+        mesh2, pp, total, max_var_degree=1
+    )
+    assert sharded.round_polys == single.round_polys and ch_m == ch_s

@@ -30,7 +30,12 @@ from zk_tpu.sumcheck import SumcheckProof, _poly_to_tables
 from zk_tpu.sumcheck.kernels import HostTables
 from zk_tpu.transcript import Transcript
 
-AXIS = "x"
+def _axes(mesh: Mesh) -> tuple:
+    """All mesh axis names: the table's lane axis shards over the FULL
+    mesh (e.g. ("dcn", "ici") for a multi-host slice — ICI within a
+    host-group, DCN across; XLA lowers the psum to a hierarchical
+    reduction over both links)."""
+    return tuple(mesh.axis_names)
 
 
 @functools.lru_cache(maxsize=None)
@@ -38,11 +43,13 @@ def _sums_fn(field: Field, degree: int, mesh: Mesh):
     """Cached jitted shard_map round-sums kernel for one (field, degree,
     mesh); shapes re-specialize under jit as tables shrink."""
 
+    axes = _axes(mesh)
+
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P(None, None, None, AXIS),
+        in_specs=P(None, None, None, axes),
         out_specs=P(None, None),
     )
     def one_term(stack):  # local (k, L, W, S/D)
@@ -66,7 +73,7 @@ def _sums_fn(field: Field, degree: int, mesh: Mesh):
                 prod = ev if prod is None else dev.mont_mul(field, prod, ev)
             flat = prod.reshape(field.n_limbs, -1)
             local = dev.sum_mod(field, flat, axis=-1)  # (L,) canonical < p
-            outs.append(jax.lax.psum(local, AXIS))  # relaxed: < D * 2^16/limb
+            outs.append(jax.lax.psum(local, axes))  # relaxed: < D * 2^16/limb
         return jnp.stack(outs)
 
     return one_term
@@ -85,12 +92,14 @@ def _round_sums_sharded(field: Field, degree: int, mesh: Mesh, terms3):
 
 @functools.lru_cache(maxsize=None)
 def _fold_fn(field: Field, mesh: Mesh):
+    axes = _axes(mesh)
+
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, None, AXIS), P(None, None)),
-        out_specs=P(None, None, None, AXIS),
+        in_specs=(P(None, None, None, axes), P(None, None)),
+        out_specs=P(None, None, None, axes),
     )
     def one_term(stack, r_loc):
         k, L, w, sd = stack.shape
@@ -246,7 +255,7 @@ class ShardedSumcheckProver:
         w = n // s_extent
 
         terms = _poly_to_tables(poly)
-        sharding = NamedSharding(mesh, P(None, None, None, AXIS))
+        sharding = NamedSharding(mesh, P(None, None, None, _axes(mesh)))
         terms3 = [
             jax.device_put(
                 jnp.stack([f.reshape(L, w, s_extent) for f in term]), sharding

@@ -386,6 +386,39 @@ def _transcript_round_cap(field: Field, degree: int, pos: int, lo, hi, buf, accs
     return _transcript_round_impl(field, degree, pos, lo, hi, buf, norms)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(4,))
+def _deg1_round_cap(field: Field, cap: int, pos: int, size, stack, acc, lo, hi, buf):
+    """One dispatch for a steady-state degree-1 single-factor round:
+    Fiat-Shamir on the pending half-sum accumulators (produced by the
+    PREVIOUS round's fused fold), then the fused in-place fold + next
+    half sums at the fresh challenge.  Returns (folded stack, next acc,
+    lo, hi, buf, round sums, challenge canonical).
+
+    The challenge's data dependency on the sums orders the transcript
+    graph before the aliased fold inside one XLA program; `stack` has a
+    single use (the fold), so donation stays clean."""
+    lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap.__wrapped__(
+        field, 1, pos, lo, hi, buf, (acc,)
+    )
+    folded, acc2 = _fold_halfsums_cap.__wrapped__(field, cap, size, stack, ch_m)
+    return folded, acc2, lo, hi, buf, total, ch_c
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4), donate_argnums=(6,))
+def _transcript_fold_cap(
+    field: Field, degree: int, k: int, cap: int, pos: int, size, stack, accs, lo, hi, buf
+):
+    """One dispatch for (transcript round + in-place fold) of a general
+    (degree, k) round — the sums were computed by a separate kernel on
+    the pre-fold table (its accumulators arrive as `accs`), so `stack`
+    has a single use here and donation stays clean."""
+    lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap.__wrapped__(
+        field, degree, pos, lo, hi, buf, accs
+    )
+    folded = _fold_cap.__wrapped__(field, k, cap, size, stack, ch_m)
+    return folded, lo, hi, buf, total, ch_c
+
+
 def run_device_rounds(
     field: Field,
     degree: int,
@@ -439,65 +472,65 @@ def run_device_rounds(
     pending_acc = None  # next-round sums already produced by a fused fold
     p = pos
     for rnd in range(rounds):
-        if pending_acc is not None:
-            args = (pending_acc,)
-            pending_acc = None
-            lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap(
-                field, degree, p, lo, hi, buf, args
-            )
-        elif in_cap:
-            if combined:
-                accs = (
-                    _round_sums_terms_cap(field, degree, ks, cap, size, stacks[0]),
-                )
-            else:
-                accs = tuple(
-                    _round_sums_cap(field, degree, k, cap, size, s)
-                    for k, s in zip(ks, stacks)
-                )
-            lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap(
-                field, degree, p, lo, hi, buf, accs
-            )
-        else:
-            norms = tuple(
-                K._sums_norm_inner(field, degree, k, size, s)
-                for k, s in zip(ks, stacks)
-            )
-            lo, hi, buf, total, ch_c, ch_m = K._transcript_round(
-                field, degree, p, lo, hi, buf, norms
-            )
-        p = 32
-        sums_all.append(total)
-        chs_all.append(ch_c)
         last = rnd == rounds - 1
-        if last and not fold_last:
-            break
+        will_fold = (not last) or fold_last
         if in_cap:
-            if deg1 and not last:
-                folded, pending_acc = _fold_halfsums_cap(
-                    field, cap, size, stacks[0], ch_m
+            # in_cap implies exactly one stack (terms concatenated)
+            k_eff = K_total if combined else ks[0]
+            if pending_acc is not None:
+                acc = pending_acc
+                pending_acc = None
+            elif combined:
+                acc = _round_sums_terms_cap(field, degree, ks, cap, size, stacks[0])
+            else:
+                acc = _round_sums_cap(field, degree, k_eff, cap, size, stacks[0])
+            if not will_fold:
+                lo, hi, buf, total, ch_c, _m = _transcript_round_cap(
+                    field, degree, p, lo, hi, buf, (acc,)
+                )
+            elif deg1 and not last:
+                # ONE dispatch: transcript + fused in-place fold + next sums
+                folded, pending_acc, lo, hi, buf, total, ch_c = _deg1_round_cap(
+                    field, cap, p, size, stacks[0], acc, lo, hi, buf
                 )
                 stacks = [folded]
-            elif combined:
-                stacks = [_fold_cap(field, K_total, cap, size, stacks[0], ch_m)]
+                size //= 2
             else:
-                stacks = [
-                    _fold_cap(field, k, cap, size, s, ch_m)
-                    for k, s in zip(ks, stacks)
-                ]
-            size //= 2
-            if size < CAP_MIN:
+                folded, lo, hi, buf, total, ch_c = _transcript_fold_cap(
+                    field, degree, k_eff, cap, p, size, stacks[0], (acc,), lo, hi, buf
+                )
+                stacks = [folded]
+                size //= 2
+            if will_fold and size < CAP_MIN:
                 stacks = [s[:, :, :size] for s in stacks]
                 in_cap = False
                 if combined:
                     stacks = _split_terms(stacks[0], ks)
                     combined = False
         else:
-            stacks = [
-                K._fold_stack_inner(field, k, size, s, ch_m)
-                for k, s in zip(ks, stacks)
-            ]
-            size //= 2
+            if pending_acc is not None:
+                args = (pending_acc,)
+                pending_acc = None
+                lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap(
+                    field, degree, p, lo, hi, buf, args
+                )
+            else:
+                norms = tuple(
+                    K._sums_norm_inner(field, degree, k, size, s)
+                    for k, s in zip(ks, stacks)
+                )
+                lo, hi, buf, total, ch_c, ch_m = K._transcript_round(
+                    field, degree, p, lo, hi, buf, norms
+                )
+            if will_fold:
+                stacks = [
+                    K._fold_stack_inner(field, k, size, s, ch_m)
+                    for k, s in zip(ks, stacks)
+                ]
+                size //= 2
+        p = 32
+        sums_all.append(total)
+        chs_all.append(ch_c)
     if in_cap and size < cap:
         stacks = [s[:, :, :size] for s in stacks]
     if combined:
