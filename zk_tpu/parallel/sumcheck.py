@@ -206,8 +206,10 @@ class ShardedSumcheckProver:
         max_var_degree: int | None = None,
         device_transcript: bool | None = None,
     ) -> SumcheckProof:
+        from zk_tpu.sumcheck import absorb_poly
+
         transcript = Transcript()
-        transcript.append(poly.to_bytes())
+        absorb_poly(transcript, poly)
         proof, _ = ShardedSumcheckProver._prove_internal(
             mesh, poly, sum, transcript, max_var_degree, device_transcript
         )

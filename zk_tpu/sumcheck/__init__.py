@@ -114,6 +114,29 @@ def _poly_to_tables(poly) -> tuple:
     return (tuple(p.data for p in poly.polynomials),)
 
 
+_ABSORB_CHUNK = 1 << 20  # elements per transcript-absorb fetch
+
+
+def absorb_poly(transcript: Transcript, poly) -> None:
+    """Absorb a polynomial's canonical bytes (prover.rs:17 / the
+    verifier's poly binding) without materializing the whole O(2^n)
+    byte string: each factor table streams through decode_bytes_be in
+    2^20-element chunks (canonical BE bytes are concatenations of
+    per-element encodings, so chunked absorption is byte-identical).
+    Bounded host memory; throughput is capped by the device->host link
+    + the C Keccak backend (~120 MB/s)."""
+    for term in _poly_to_tables(poly):
+        for fac in term:
+            n = fac.shape[-1]
+            if n <= _ABSORB_CHUNK:
+                transcript.append(dev.decode_bytes_be(poly.field, fac))
+                continue
+            for a in range(0, n, _ABSORB_CHUNK):
+                transcript.append(
+                    dev.decode_bytes_be(poly.field, fac[:, a : a + _ABSORB_CHUNK])
+                )
+
+
 # --------------------------------------------------------------------------
 # prover
 # --------------------------------------------------------------------------
@@ -141,7 +164,7 @@ class SumcheckProver:
         """Prove, binding the initial poly bytes into the transcript
         (prover.rs:15-20)."""
         transcript = Transcript()
-        transcript.append(poly.to_bytes())
+        absorb_poly(transcript, poly)
         proof, _ = SumcheckProver._prove_internal(
             poly, sum, transcript, max_var_degree, tail_size, device_transcript
         )
@@ -399,7 +422,7 @@ class SumcheckVerifier:
                 "invalid proof: require 1 round poly for each variable in poly"
             )
         transcript = Transcript()
-        transcript.append(poly.to_bytes())
+        absorb_poly(transcript, poly)
         subclaim = SumcheckVerifier._verify_internal(poly.field, proof, transcript)
         initial_poly_eval = poly.evaluate(subclaim.challenges)
         return initial_poly_eval == subclaim.sum
