@@ -9,10 +9,24 @@ rerun.
 Usage: python benches/scaling.py [n_vars] [field]
 """
 
+import os
 import sys
 import time
 
+sys.path.insert(0, ".")
+
+# default to the simulated 8-device CPU mesh (the image's sitecustomize
+# forces the single-chip axon TPU platform otherwise); set
+# ZK_TPU_SCALING_TPU=1 on a real multi-chip slice
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax
+
+if os.environ.get("ZK_TPU_SCALING_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 from zk_tpu.fields import BLS12_381_FR, GOLDILOCKS
 from zk_tpu.parallel import ShardedSumcheckProver, make_mesh

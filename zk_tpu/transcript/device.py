@@ -74,7 +74,11 @@ _RC_HI = np.array([rc >> 32 for rc in _RC], dtype=np.uint32)
 
 
 def _rol2(lo, hi, n: int):
-    """64-bit rotate-left by static n over a (lo, hi) uint32 half pair."""
+    """64-bit rotate-left by static n over a (lo, hi) uint32 half pair
+    (raw lax binds — the 24-round unrolled kernel is ~25k scalar ops and
+    jnp dispatch costs ~7x more per op under the Pallas tracer)."""
+    from jax import lax
+
     n %= 64
     if n == 0:
         return lo, hi
@@ -83,39 +87,54 @@ def _rol2(lo, hi, n: int):
     if n > 32:
         lo, hi = hi, lo
         n -= 32
-    return (lo << n) | (hi >> (32 - n)), (hi << n) | (lo >> (32 - n))
+
+    def sl(x, k):
+        return lax.shift_left(x, lax.full_like(x, np.uint32(k)))
+
+    def sr(x, k):
+        return lax.shift_right_logical(x, lax.full_like(x, np.uint32(k)))
+
+    return (
+        lax.bitwise_or(sl(lo, n), sr(hi, 32 - n)),
+        lax.bitwise_or(sl(hi, n), sr(lo, 32 - n)),
+    )
 
 
-_ROUNDS_PER_KERNEL = 6  # 24-round single kernel exceeds Mosaic's
-# practical scalar-unroll compile budget; 4 kernels of 6 rounds compile
-# fast and still amortize launch latency ~6x vs one-fusion-per-op XLA
+_ROUNDS_PER_KERNEL = 24  # whole permutation in ONE kernel: fewer
+# sequential launches on the per-round Fiat-Shamir critical path; the
+# lax-emitted body keeps trace + Mosaic compile in budget
 
 
 def _rounds_kernel_pallas(lo, hi, rcs: tuple):
     """Static subset of Keccak rounds as one Pallas kernel of unrolled
     scalar ops (state in SMEM — 25 uint32 lane-half pairs)."""
+    from jax import lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    x_ = lax.bitwise_xor
+    and_ = lax.bitwise_and
+    not_ = lax.bitwise_not
 
     def kernel(lo_ref, hi_ref, olo_ref, ohi_ref):
         a_lo = [lo_ref[i] for i in range(25)]
         a_hi = [hi_ref[i] for i in range(25)]
         for rc in rcs:
             c_lo = [
-                a_lo[x] ^ a_lo[x + 5] ^ a_lo[x + 10] ^ a_lo[x + 15] ^ a_lo[x + 20]
+                x_(x_(x_(x_(a_lo[x], a_lo[x + 5]), a_lo[x + 10]), a_lo[x + 15]), a_lo[x + 20])
                 for x in range(5)
             ]
             c_hi = [
-                a_hi[x] ^ a_hi[x + 5] ^ a_hi[x + 10] ^ a_hi[x + 15] ^ a_hi[x + 20]
+                x_(x_(x_(x_(a_hi[x], a_hi[x + 5]), a_hi[x + 10]), a_hi[x + 15]), a_hi[x + 20])
                 for x in range(5)
             ]
             for x in range(5):
                 rl, rh = _rol2(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
-                d_lo = c_lo[(x - 1) % 5] ^ rl
-                d_hi = c_hi[(x - 1) % 5] ^ rh
+                d_lo = x_(c_lo[(x - 1) % 5], rl)
+                d_hi = x_(c_hi[(x - 1) % 5], rh)
                 for y in range(5):
-                    a_lo[x + 5 * y] = a_lo[x + 5 * y] ^ d_lo
-                    a_hi[x + 5 * y] = a_hi[x + 5 * y] ^ d_hi
+                    a_lo[x + 5 * y] = x_(a_lo[x + 5 * y], d_lo)
+                    a_hi[x + 5 * y] = x_(a_hi[x + 5 * y], d_hi)
             b_lo = [None] * 25
             b_hi = [None] * 25
             for x in range(5):
@@ -124,19 +143,17 @@ def _rounds_kernel_pallas(lo, hi, rcs: tuple):
                     b_lo[y + 5 * ((2 * x + 3 * y) % 5)] = rl
                     b_hi[y + 5 * ((2 * x + 3 * y) % 5)] = rh
             a_lo = [
-                b_lo[x + 5 * y]
-                ^ (~b_lo[(x + 1) % 5 + 5 * y] & b_lo[(x + 2) % 5 + 5 * y])
+                x_(b_lo[x + 5 * y], and_(not_(b_lo[(x + 1) % 5 + 5 * y]), b_lo[(x + 2) % 5 + 5 * y]))
                 for y in range(5)
                 for x in range(5)
             ]
             a_hi = [
-                b_hi[x + 5 * y]
-                ^ (~b_hi[(x + 1) % 5 + 5 * y] & b_hi[(x + 2) % 5 + 5 * y])
+                x_(b_hi[x + 5 * y], and_(not_(b_hi[(x + 1) % 5 + 5 * y]), b_hi[(x + 2) % 5 + 5 * y]))
                 for y in range(5)
                 for x in range(5)
             ]
-            a_lo[0] = a_lo[0] ^ np.uint32(rc & 0xFFFFFFFF)
-            a_hi[0] = a_hi[0] ^ np.uint32(rc >> 32)
+            a_lo[0] = x_(a_lo[0], lax.full_like(a_lo[0], np.uint32(rc & 0xFFFFFFFF)))
+            a_hi[0] = x_(a_hi[0], lax.full_like(a_hi[0], np.uint32(rc >> 32)))
         for i in range(25):
             olo_ref[i] = a_lo[i]
             ohi_ref[i] = a_hi[i]
