@@ -15,7 +15,7 @@ def test_disabled_by_default(capsys):
     os.environ.pop("PERF_LOG", None)
     start_timer("scope")
     end_timer()
-    assert capsys.readouterr().out == ""
+    assert capsys.readouterr().err == ""
 
 
 def test_nested_indentation(capsys):
@@ -24,7 +24,7 @@ def test_nested_indentation(capsys):
         with timer("outer"):
             with timer("inner"):
                 pass
-        out = capsys.readouterr().out
+        out = capsys.readouterr().err
         assert "outer (begin)" in out
         assert " inner (begin)" in out  # indented one space
         assert "inner (end)" in out

@@ -92,20 +92,26 @@ def encode_ints(field: Field, values, mont: bool = True) -> jnp.ndarray:
     (C speed) and numpy reinterprets the packed buffer — no per-limb
     Python loop.  Large vectors upload HALF-width (packed uint16 pairs,
     unpacked by one device op): the axon tunnel moves ~34 MB/s, so a
-    2^19-element BLS12-381 witness uploads in ~0.5 s instead of ~1 s."""
-    p, R = field.p, field.R
-    if mont:
-        vals = [((int(v) % p) * R) % p for v in values]
-    else:
-        vals = [int(v) % p for v in values]
+    2^19-element BLS12-381 witness uploads in ~0.5 s instead of ~1 s.
+    The Montgomery conversion of large vectors also runs ON DEVICE (one
+    mont_mul by R^2 — identical values): the per-element host bigint
+    (v * R) % p loop was ~0.5 M bigint mults per 2^19-element GKR
+    witness, the top warm-prove cost of round 3."""
+    p = field.p
     L = field.n_limbs
+    vals = [int(v) % p for v in values]
     n = len(vals)
+    big = n >= _DEVICE_DECODE_MIN
+    if mont and not big:
+        R = field.R
+        vals = [(v * R) % p for v in vals]
     wp = 4 * ((L + 1) // 2)  # bytes per element, padded to uint32 pairs
     packed = b"".join(v.to_bytes(wp, "little") for v in vals)
-    if n >= _DEVICE_DECODE_MIN:
+    if big:
         pairs = np.frombuffer(packed, dtype="<u4").reshape(n, wp // 4)
         up = jnp.asarray(np.ascontiguousarray(pairs.T.astype(np.uint32)))
-        return _unpack16(L, up)
+        out = _unpack16(L, up)
+        return to_mont(field, out) if mont else out
     limbs = np.frombuffer(packed, dtype="<u2").reshape(n, wp // 2)[:, :L]
     return jnp.asarray(np.ascontiguousarray(limbs.T.astype(np.uint32)))
 
@@ -444,8 +450,10 @@ def sum_mod(field: Field, a, axis: int = -1):
     if axis != a.ndim - 1:
         a = jnp.moveaxis(a, axis, -1)
     n = a.shape[-1]
-    m = 1 << max(0, (n - 1).bit_length())
-    if m != n:
+    # pad only up to a multiple of the group size (zeros are neutral in
+    # the raw column sums); levels below _SUM_GROUP take g = n directly
+    if n > _SUM_GROUP and n % _SUM_GROUP:
+        m = -(-n // _SUM_GROUP) * _SUM_GROUP
         pad = [(0, 0)] * a.ndim
         pad[-1] = (0, m - n)
         a = jnp.pad(a, pad)

@@ -416,7 +416,17 @@ class GKRVerifier:
         padded_out = proof.outputs + [0] * (
             (1 << circuit.layer_k(0)) - len(proof.outputs)
         )
-        m = mle_eval_host(field, padded_out, r)
+        if len(padded_out) > 4096:
+            from zk_tpu.gkr import device as gdev
+
+            m = dev.decode_ints(
+                field,
+                gdev.mle_eval_points(
+                    field, dev.encode_ints(field, padded_out), [r]
+                ),
+            )[0]
+        else:
+            m = mle_eval_host(field, padded_out, r)
 
         for i, lp in enumerate(proof.layer_proofs):
             k_in = circuit.layer_k(i + 1)

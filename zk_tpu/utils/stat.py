@@ -2,7 +2,8 @@
 
 Reimplements the reference stat crate's start_timer!/end_timer! macros
 (stat/src/lib.rs:13-56): thread-local stack of (label, start), indented
-begin/end prints, enabled only when PERF_LOG=true.  Plus an analytic
+begin/end prints, enabled only when PERF_LOG=true.  Prints go to stderr
+(bench.py reserves stdout for the driver's single JSON line).  Plus an analytic
 field-op counter — on TPU the op counts are deterministic functions of
 (n, degree, k), so no wrapper field type (field-tracker) is needed
 (SURVEY.md §5).
@@ -11,6 +12,7 @@ field-op counter — on TPU the op counts are deterministic functions of
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 from contextlib import contextmanager
@@ -35,7 +37,7 @@ def start_timer(label: str) -> None:
     blocks = _stack()
     indent = " " * len(blocks)
     blocks.append((label, time.perf_counter()))
-    print(f"\n{indent}{label} (begin)")
+    print(f"\n{indent}{label} (begin)", file=sys.stderr, flush=True)
 
 
 def end_timer() -> None:
@@ -46,7 +48,11 @@ def end_timer() -> None:
     label, start = blocks.pop()
     indent = " " * len(blocks)
     elapsed = time.perf_counter() - start
-    print(f"{indent}{label} (end): {elapsed * 1e3:.3f}ms\n")
+    print(
+        f"{indent}{label} (end): {elapsed * 1e3:.3f}ms\n",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 @contextmanager
@@ -77,7 +83,7 @@ def sumcheck_prover_mults(n_vars: int, degree: int, k: int) -> int:
     while s > 1:
         half = s // 2
         spec = (degree - 1) * k * half  # lerps for points >= 2
-        prods = degree * 0 + (k - 1) * half * (degree + 1)
+        prods = (k - 1) * half * (degree + 1)
         fold = k * half
         total += spec + prods + fold
         s = half
