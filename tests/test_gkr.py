@@ -232,3 +232,59 @@ def test_gkr_unpadded_layer_sizes():
     inputs = [7, 11, 2, 3, 5]
     proof, _ = GKRProver.prove(F17, c, inputs)
     assert GKRVerifier.verify(F17, c, inputs, proof)
+
+
+def test_gkr_device_resident_inputs_byte_identical():
+    """The production witness path: inputs given as an already-encoded
+    (L, n) Montgomery tensor must yield the SAME proof bytes as host-int
+    inputs, and verify against either input form."""
+    import random
+
+    from zk_tpu.fields import device as dev
+    from zk_tpu.gkr import gkr_proof_to_bytes
+
+    rng = random.Random(21)
+    c = random_circuit(rng, depth=2, width=16, n_inputs=16)
+    ints = [rng.randrange(FR.p) for _ in range(16)]
+    dev_inputs = dev.encode_ints(FR, ints)
+
+    p_host, _ = GKRProver.prove(FR, c, ints)
+    p_dev, _ = GKRProver.prove(FR, c, dev_inputs)
+    assert gkr_proof_to_bytes(FR, p_dev) == gkr_proof_to_bytes(FR, p_host)
+    assert GKRVerifier.verify(FR, c, dev_inputs, p_dev)
+    assert GKRVerifier.verify(FR, c, ints, p_dev)
+
+
+def test_gkr_verifier_wiring_cutoff_boundary():
+    """The verifier switches from host eq-sums to the device eq-gather
+    kernel above 256 gates per layer (gkr/__init__.py); both sides of
+    the boundary must accept the same honest proofs — and the two
+    wiring-predicate evaluators must agree exactly AT the boundary."""
+    import random
+
+    from zk_tpu.fields import GOLDILOCKS as G
+    from zk_tpu.gkr import _wiring_eval_host
+    from zk_tpu.gkr.circuit import ADD
+    from zk_tpu.gkr import device as gdev
+
+    rng = random.Random(31)
+    for width in (256, 257):
+        n_in = 256
+        layer = [
+            Gate("add" if a % 3 else "mul", a % n_in, (a * 7 + 5) % n_in)
+            for a in range(width)
+        ]
+        c = Circuit([layer], n_in)
+        ints = [rng.randrange(G.p) for _ in range(n_in)]
+        proof, _ = GKRProver.prove(G, c, ints)
+        assert GKRVerifier.verify(G, c, ints, proof)
+
+        k_out = c.layer_k(0)
+        k_in = c.layer_k(1)
+        r = [rng.randrange(G.p) for _ in range(k_out)]
+        b = [rng.randrange(G.p) for _ in range(k_in)]
+        cc = [rng.randrange(G.p) for _ in range(k_in)]
+        add_d, mul_d = gdev.wiring_eval(G, c, 0, r, b, cc)
+        add_h = _wiring_eval_host(G, c, 0, ADD, r + b + cc)
+        mul_h = _wiring_eval_host(G, c, 0, "mul", r + b + cc)
+        assert (add_d, mul_d) == (add_h, mul_h)

@@ -8,7 +8,10 @@ verifier: the proof bytes are asserted identical to the single-device
 prover's (BASELINE.json:5 "layered GKR prover/verifier driving sumcheck
 per layer" + bit-exactness)."""
 
+import os
 import random
+import subprocess
+import sys
 
 import jax
 import pytest
@@ -27,8 +30,7 @@ def _mesh():
     return jax.make_mesh((8,), ("x",), devices=devices[:8])
 
 
-@pytest.mark.parametrize("field", [GOLDILOCKS, FR], ids=["goldilocks", "bls12-381"])
-def test_sharded_gkr_matches_single_device(field):
+def _matches_single_device(field):
     mesh = _mesh()
     rng = random.Random(11)
     # width 32 -> k_in = 5, phase tables 2^5 = 32 >= 2 * 8: the sharded
@@ -42,6 +44,49 @@ def test_sharded_gkr_matches_single_device(field):
         field, proof_single
     )
     assert GKRVerifier.verify(field, c, inputs, proof_mesh)
+
+
+def test_sharded_gkr_matches_single_device_goldilocks():
+    _matches_single_device(GOLDILOCKS)
+
+
+@pytest.mark.skipif(
+    os.environ.get("ZK_TPU_INNER_BLS_GKR") != "1",
+    reason="runs via test_sharded_gkr_bls_fresh_process (XLA:CPU "
+    "compiler-state segfault workaround)",
+)
+def test_sharded_gkr_matches_single_device_bls_inner():
+    _matches_single_device(FR)
+
+
+def test_sharded_gkr_bls_fresh_process():
+    """The BLS variant compiles enough large limb graphs that this
+    image's XLA:CPU backend segfaults when a loaded xdist worker gets to
+    it (deterministic compiler-state crash; the same graphs compile fine
+    in a fresh process — pytest.ini history).  Run it in its own
+    interpreter so the suite stays green regardless of worker history."""
+    env = dict(os.environ)
+    env["ZK_TPU_INNER_BLS_GKR"] = "1"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "-q",
+            "-n",
+            "0",
+            "-p",
+            "no:cacheprovider",
+            os.path.abspath(__file__)
+            + "::test_sharded_gkr_matches_single_device_bls_inner",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1800,
+    )
+    assert r.returncode == 0, f"inner BLS sharded-GKR run failed:\n{r.stdout}\n{r.stderr}"
 
 
 def test_sharded_gkr_small_layers_fall_back():

@@ -178,11 +178,22 @@ class GKRProver:
 
         with timer("gkr witness (device circuit eval)"):
             levels = gdev.evaluate_device(circuit, field, inputs, mesh=mesh)
-            outputs = dev.decode_ints(field, levels[0])[: len(circuit.layers[0])]
+            # ONE fetch of the output level as canonical BE bytes: the
+            # ints (proof.outputs) parse from slices and the transcript
+            # absorbs the same bytes verbatim (elements_to_bytes is
+            # exactly this concatenation) — round 3 fetched + re-encoded
+            # the 2^19-element layer twice.
+            nb = field.n_bytes
+            n_out = len(circuit.layers[0])
+            out_bytes = dev.decode_bytes_be(field, levels[0])[: n_out * nb]
+            outputs = [
+                int.from_bytes(out_bytes[i * nb : (i + 1) * nb], "big")
+                for i in range(n_out)
+            ]
 
         transcript = Transcript()
         with timer("gkr bind outputs + r0"):
-            transcript.append(field.elements_to_bytes(outputs))
+            transcript.append(out_bytes)
             r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
             m = dev.decode_ints(field, gdev.mle_eval_points(field, levels[0], [r]))[0]
 
@@ -256,16 +267,14 @@ class GKRProver:
             )
             b_star, c_star = u, v
 
-            # W(b*), W(c*), and the line restriction q(t) = W~(b* + t(c*-b*))
-            # at t = 2..k_in: one batched device eval + one decode
-            pts = [b_star, c_star] + [
-                [(b + t * (c - b)) % field.p for b, c in zip(b_star, c_star)]
-                for t in range(2, k_in + 1)
-            ]
+            # the line restriction q(t) = W~(b* + t(c*-b*)) at t = 0..k_in
+            # (q(0) = W(b*), q(1) = W(c*)): ONE symbolic fold dispatch +
+            # one small decode (gdev.line_restriction_evals)
             with timer(f"layer {i} line restriction evals"):
-                evals = dev.decode_ints(field, gdev.mle_eval_points(field, w_dev, pts))
-            w_b, w_c = evals[0], evals[1]
-            q_evals = [w_b, w_c] + evals[2:] if k_in >= 1 else [w_b]
+                q_evals = gdev.line_restriction_evals(field, w_dev, b_star, c_star)
+            w_b = q_evals[0]
+            w_c = q_evals[1] if k_in >= 1 else q_evals[0]
+            q_evals = q_evals if k_in >= 1 else [w_b]
             transcript.append(field.elements_to_bytes([w_b, w_c]))
             transcript.append(field.elements_to_bytes(q_evals))
 
@@ -473,10 +482,18 @@ class GKRVerifier:
             m = q.evaluate(r_star)
 
         # final oracle check against the input MLE (device fold for big
-        # input vectors, exact host ints for small ones)
-        padded_inputs = [v % field.p for v in inputs] + [0] * (
-            (1 << circuit.layer_k(circuit.depth)) - len(inputs)
-        )
+        # input vectors — incl. device-resident inputs — exact host ints
+        # for small ones)
+        pad_to = 1 << circuit.layer_k(circuit.depth)
+        if isinstance(inputs, jnp.ndarray):
+            from zk_tpu.gkr import device as gdev
+
+            data = inputs
+            if pad_to > data.shape[-1]:
+                data = jnp.pad(data, ((0, 0), (0, pad_to - data.shape[-1])))
+            got = dev.decode_ints(field, gdev.mle_eval_points(field, data, [r]))[0]
+            return got == m
+        padded_inputs = [v % field.p for v in inputs] + [0] * (pad_to - len(inputs))
         if len(padded_inputs) > 4096:
             from zk_tpu.gkr import device as gdev
 

@@ -99,7 +99,11 @@ def mle_eval_points(field: Field, data: jnp.ndarray, points: list[list[int]]):
 
     On TPU with a large table, each point runs the in-place capacity
     fold chain (async dispatches, ~4 vars per HBM pass) instead of the
-    vmapped jnp ladder — the P chains pipeline back-to-back."""
+    vmapped jnp ladder — the P chains pipeline back-to-back.  (The
+    vmapped ladder was measured STRICTLY worse on the v5e for many
+    points: 1.4 s warm / 203 s compile for 21 points at 2^20 vs 0.6 s
+    for the chains; GKR's many-point case uses line_restriction_evals
+    instead, which needs only one symbolic fold pass.)"""
     from zk_tpu.fields.pallas_kernels import on_tpu
     from zk_tpu.poly.mle import _fold_var0_fast
 
@@ -116,6 +120,71 @@ def mle_eval_points(field: Field, data: jnp.ndarray, points: list[list[int]]):
         for j, v in enumerate(pt):
             rs[i, j] = dev.const_limbs(field, v)
     return _eval_points_kernel(field, n_vars, data, jnp.asarray(rs))
+
+
+# --------------------------------------------------------------------------
+# line restriction: q(t) = W~(b + t(c - b)) in ONE symbolic fold pass
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _line_fold_kernel(field: Field, k: int, data, bs, ds):
+    """Restrict a (L, 2^k) MLE table to the line l(t) = b + t*(c - b):
+    returns the (L, k+1) COEFFICIENTS of the degree-<=k univariate
+    q(t) = W~(l(t)).
+
+    Each fold level substitutes the linear polynomial l_j(t) = b_j +
+    t*d_j for variable j, so table entries become polynomials in t
+    (degree axis last): new = left + l_j(t) * (right - left), i.e.
+    new_d = left_d + b_j*diff_d + d_j*diff_{d-1} — two Montgomery mults
+    per coefficient.  Total work ~4*2^k field mults, vs ~(k+1)*2^k for
+    evaluating W~ at the k+1 line points separately (the round-3
+    design: ~130 chained fold dispatches per GKR layer).  Same pairing
+    order as the evaluation fold (var 0 = MSB), so values are identical
+    to per-point evaluation."""
+    L = field.n_limbs
+    x = data[:, :, None]  # (L, N, 1): degree-0 coefficients
+    n = 1 << k
+    for j in range(k):
+        half = n // 2
+        left, right = x[:, :half, :], x[:, half:, :]
+        diff = dev.sub_mod(field, right, left)
+        b_j = bs[j].reshape(L, 1, 1)
+        d_j = ds[j].reshape(L, 1, 1)
+        t0 = dev.add_mod(field, left, dev.mont_mul(field, diff, b_j))
+        t1 = dev.mont_mul(field, diff, d_j)
+        x = dev.add_mod(
+            field,
+            jnp.pad(t0, ((0, 0), (0, 0), (0, 1))),
+            jnp.pad(t1, ((0, 0), (0, 0), (1, 0))),
+        )
+        n = half
+    return x[:, 0, :]  # (L, k+1)
+
+
+def line_restriction_evals(
+    field: Field, w_dev: jnp.ndarray, b: list[int], c: list[int]
+) -> list[int]:
+    """q(t) = W~(b + t(c - b)) evaluated at t = 0..k (the GKR layer
+    proof's q_evals; q(0) = W(b*), q(1) = W(c*)).  One device dispatch
+    for the symbolic fold + one small decode; the t-point evaluations
+    are k+1 Horner chains on host ints (O(k^2) bigint mults)."""
+    k = len(b)
+    if k == 0:
+        v = dev.decode_ints(field, w_dev.reshape(field.n_limbs, 1))[0]
+        return [v]
+    ds = [(cj - bj) % field.p for bj, cj in zip(b, c)]
+    coeffs = _line_fold_kernel(
+        field, k, w_dev, _mont_rs(field, b), _mont_rs(field, ds)
+    )
+    cs = dev.decode_ints(field, coeffs)  # degree 0..k
+    out = []
+    for t in range(k + 1):
+        acc = 0
+        for d in range(k, -1, -1):
+            acc = (acc * t + cs[d]) % field.p
+        out.append(acc)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -191,21 +260,35 @@ def _layer_eval_sharded(field: Field, mesh, pad_to: int, cur, left, right, is_ad
     return jax.device_put(out, NamedSharding(mesh, P()))
 
 
-def evaluate_device(circuit, field: Field, inputs: list[int], mesh=None) -> list[jnp.ndarray]:
+def evaluate_device(circuit, field: Field, inputs, mesh=None) -> list[jnp.ndarray]:
     """Wire values per level as (L, 2^k) Montgomery tensors, output level
     first (device analog of Circuit.evaluate — same padding, gkr/circuit.py).
+
+    `inputs` is a list of host ints OR an already-encoded (L, n_inputs)
+    Montgomery limb tensor (the production path: a device-resident
+    witness never crosses the host link — on the axon tunnel a
+    2^19-element BLS witness upload alone costs ~0.5 s).
 
     With a mesh, layers whose padded width divides across the mesh run
     gate-sharded under GSPMD (one all-gather per layer to re-replicate
     the wire vector for the next layer's gathers); values are identical
     to the single-device path."""
-    if len(inputs) != circuit.n_inputs:
-        raise ValueError("wrong number of inputs")
-    padded = [v for v in inputs] + [0] * (
-        (1 << circuit.layer_k(circuit.depth)) - len(inputs)
-    )
+    pad_to = 1 << circuit.layer_k(circuit.depth)
+    if isinstance(inputs, jax.Array):
+        if inputs.shape != (field.n_limbs, circuit.n_inputs):
+            raise ValueError(
+                f"device inputs must be ({field.n_limbs}, {circuit.n_inputs}) "
+                f"Montgomery limbs, got {inputs.shape}"
+            )
+        cur = inputs
+        if pad_to > circuit.n_inputs:
+            cur = jnp.pad(cur, ((0, 0), (0, pad_to - circuit.n_inputs)))
+    else:
+        if len(inputs) != circuit.n_inputs:
+            raise ValueError("wrong number of inputs")
+        padded = [v for v in inputs] + [0] * (pad_to - len(inputs))
+        cur = dev.encode_ints(field, padded)
     levels: list = [None] * (circuit.depth + 1)
-    cur = dev.encode_ints(field, padded)
     levels[circuit.depth] = cur
     for i in range(circuit.depth - 1, -1, -1):
         left, right, is_add, _, _ = circuit.wiring(i)
@@ -233,9 +316,14 @@ def evaluate_device(circuit, field: Field, inputs: list[int], mesh=None) -> list
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _scatter_table(field: Field, size: int, pos, vals):
     """Scatter-add Montgomery values into a zeroed (L, size) table and
-    renormalize mod p (duplicate positions accumulate exactly)."""
-    acc = jnp.zeros((field.n_limbs, size), U32).at[:, pos].add(vals)
-    return dev.renorm_relaxed(field, acc)
+    renormalize mod p (duplicate positions accumulate exactly).
+
+    The scatter runs in (size, L) ROW-major layout: each gate moves one
+    contiguous 4L-byte row instead of L strided lanes — measured ~2x
+    faster on the v5e (47 ms vs 82 ms for 2^19 BLS12-381 scatters);
+    the transposes fuse into streaming HBM passes."""
+    acc = jnp.zeros((size, field.n_limbs), U32).at[pos].add(vals.T)
+    return dev.renorm_relaxed(field, acc.T)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
