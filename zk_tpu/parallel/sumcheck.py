@@ -157,6 +157,7 @@ def _sums_cap_fn(field: Field, degree: int, ks: tuple, cap: int, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), _spec4(axes)),
             out_specs=P(),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
         )
         def body(sz, st):
             local = st.reshape(K_tot, L, cap)
@@ -224,6 +225,7 @@ def _transcript_fold_cap_fn(
             mesh=mesh,
             in_specs=(P(), _spec4(axes), P(None, None)),
             out_specs=_spec4(axes),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
         )
         def body(sz, st, r):
             local = st.reshape(K_tot, L, cap)
@@ -256,6 +258,7 @@ def _deg1_cap_fn(field: Field, cap: int, mesh: Mesh, pos: int):
             mesh=mesh,
             in_specs=(P(), _spec4(axes), P(None, None)),
             out_specs=(_spec4(axes), P()),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
         )
         def body(sz, st, r):
             local = st.reshape(1, L, cap)
@@ -318,6 +321,7 @@ def _fold_cap_only_fn(field: Field, K_tot: int, cap: int, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), _spec4(axes), P(None, None)),
             out_specs=_spec4(axes),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
         )
         def body(sz, st, rr):
             local = st.reshape(K_tot, L, cap)
