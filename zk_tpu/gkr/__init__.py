@@ -176,6 +176,19 @@ class GKRProver:
         from zk_tpu.gkr import device as gdev
         from zk_tpu.utils import timer
 
+        if (
+            mesh is None
+            and device_transcript is not False
+            and tail_size is None
+            and field.p > (1 << 32)
+            and all(circuit.layer_k(i + 1) >= 1 for i in range(circuit.depth))
+        ):
+            # device-resident layer chain: sponge + challenges never
+            # leave the chip; ONE proof-assembly sync (zk_tpu.gkr.chain)
+            from zk_tpu.gkr.chain import prove_chain
+
+            return prove_chain(field, circuit, inputs)
+
         with timer("gkr witness (device circuit eval)"):
             levels = gdev.evaluate_device(circuit, field, inputs, mesh=mesh)
             # ONE fetch of the output level as canonical BE bytes: the

@@ -86,6 +86,7 @@ class Circuit:
         obj.layers = [_ArrayLayer(l, r, a) for l, r, a in layers]
         obj.n_inputs = n_inputs
         obj._wiring = {}
+        obj._plans = {}
         if not layers:
             raise ValueError("circuit must have at least one layer")
         if n_inputs < 1:
@@ -107,6 +108,7 @@ class Circuit:
         self.layers = layers
         self.n_inputs = n_inputs
         self._wiring: dict[int, tuple] = {}
+        self._plans: dict[tuple, np.ndarray] = {}
         # validate wiring
         for i, layer in enumerate(layers):
             below = len(layers[i + 1]) if i + 1 < len(layers) else n_inputs
@@ -149,6 +151,34 @@ class Circuit:
         out = (left, right, is_add, add_idx, mul_idx)
         self._wiring[i] = out
         return out
+
+    def gather_plan(self, i: int, which: str) -> np.ndarray:
+        """Fan-in decomposition of layer i's scatter-add at the `which`
+        ("left"/"right") child indices: an (S, 2^k_in) int32 matrix where
+        row s holds, per output slot, the index of the s-th gate writing
+        that slot (or n_gates for none — callers pad the value vector
+        with a zero column).  S = max fan-in.  Summing the S gathered
+        rows reproduces the scatter-add exactly (same integer limb sums,
+        order-independent) — but gathers stream on the TPU (~1-2 ms for
+        2^19 BLS rows) where the scatter op serializes (~47 ms).  Cached
+        per (layer, side); built once on host in O(G log G)."""
+        key = (i, which)
+        cached = self._plans.get(key)
+        if cached is not None:
+            return cached
+        left, right, *_ = self.wiring(i)
+        pos = left if which == "left" else right
+        size = 1 << self.layer_k(i + 1)
+        n_gates = len(pos)
+        order = np.argsort(pos, kind="stable").astype(np.int32)
+        sp = pos[order]
+        first = np.searchsorted(sp, sp, side="left")
+        rank = np.arange(n_gates) - first
+        fanin = int(rank.max()) + 1 if n_gates else 1
+        perms = np.full((fanin, size), n_gates, dtype=np.int32)
+        perms[rank, sp] = order
+        self._plans[key] = perms
+        return perms
 
     def evaluate(self, field: Field, inputs: list[int]) -> list[list[int]]:
         """Wire values per level, output level first; each vector padded

@@ -74,7 +74,7 @@ def _mont_rs(field: Field, point: list[int]) -> jnp.ndarray:
     out = np.empty((k, field.n_limbs), dtype=np.uint32)
     for j, v in enumerate(point):
         out[j] = dev.const_limbs(field, v)
-    return jnp.asarray(out.reshape(max(k, 1), field.n_limbs)[:k])
+    return jnp.asarray(out)
 
 
 def eq_table(field: Field, point: list[int]) -> jnp.ndarray:
@@ -326,6 +326,55 @@ def _scatter_table(field: Field, size: int, pos, vals):
     return dev.renorm_relaxed(field, acc.T)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _gather_table(field: Field, perms, vals):
+    """Scatter-add expressed as fan-in gathers: vals (L, G) Montgomery
+    values, perms (S, size) from Circuit.gather_plan (dummy index G
+    selects the appended zero column).  Raw uint32 limb accumulation
+    then one renorm — integer-identical to _scatter_table, but each of
+    the S rows is a streaming gather instead of a serialized TPU
+    scatter (~1-2 ms vs ~47 ms at 2^19 BLS rows)."""
+    L = vals.shape[0]
+    ext = jnp.concatenate([vals, jnp.zeros((L, 1), U32)], axis=1)
+    acc = ext[:, perms[0]]
+    for s in range(1, perms.shape[0]):
+        acc = acc + ext[:, perms[s]]
+    return dev.renorm_relaxed(field, acc)
+
+
+# above this max fan-in the gather decomposition's S streaming passes
+# lose to one serialized scatter
+_GATHER_FANIN_MAX = 64
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _phase1_tables_g(field: Field, size_in: int, eq_r, w_dev, right, is_add, perms_l):
+    """Gather-plan variant of _phase1_tables (values identical)."""
+    wgt = eq_r
+    wr = w_dev[:, right]
+    wgt_wr = dev.mont_mul(field, wgt, wr)
+    g1_vals = jnp.where(is_add[None, :], wgt, wgt_wr)
+    g1 = _gather_table(field, perms_l, g1_vals)
+    a2_vals = jnp.where(is_add[None, :], wgt_wr, jnp.zeros_like(wgt_wr))
+    a2 = _gather_table(field, perms_l, a2_vals)
+    return g1, a2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _phase2_tables_g(
+    field: Field, size_in: int, eq_r, eq_u, w_dev, wu, left, is_add, perms_r
+):
+    """Gather-plan variant of _phase2_tables (values identical)."""
+    gl = eq_u[:, left]
+    w2 = dev.mont_mul(field, eq_r, gl)
+    zeros = jnp.zeros_like(w2)
+    add_u = _gather_table(field, perms_r, jnp.where(is_add[None, :], w2, zeros))
+    mul_u = _gather_table(field, perms_r, jnp.where(is_add[None, :], zeros, w2))
+    mul_u_s = dev.mont_mul(field, mul_u, wu)
+    w_shift = dev.add_mod(field, w_dev, wu)
+    return add_u, mul_u_s, w_shift
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _phase1_tables(field: Field, size_in: int, eq_r, w_dev, left, right, is_add):
     """(G1, A2) for phase 1, each (L, size_in).
@@ -366,12 +415,23 @@ def _phase2_tables(field: Field, size_in: int, eq_r, eq_u, w_dev, wu, left, righ
     return add_u, mul_u_s, w_shift
 
 
-def build_phase1(field: Field, circuit, layer: int, eq_r, w_dev) -> SumOfProducts:
-    """Phase-1 polynomial over b: G1(b)*W(b) + A2(b)."""
+def phase1_tables_auto(field: Field, circuit, layer: int, eq_r, w_dev):
+    """(G1, A2) via the gather plan when fan-in permits, scatter otherwise."""
     left, right, is_add, _, _ = circuit.wiring(layer)
     k_in = circuit.layer_k(layer + 1)
     n_gates = len(left)
-    g1, a2 = _phase1_tables(
+    plan = circuit.gather_plan(layer, "left")
+    if plan.shape[0] <= _GATHER_FANIN_MAX:
+        return _phase1_tables_g(
+            field,
+            1 << k_in,
+            eq_r[:, :n_gates],
+            w_dev,
+            jnp.asarray(right),
+            jnp.asarray(is_add),
+            jnp.asarray(plan),
+        )
+    return _phase1_tables(
         field,
         1 << k_in,
         eq_r[:, :n_gates],
@@ -380,6 +440,43 @@ def build_phase1(field: Field, circuit, layer: int, eq_r, w_dev) -> SumOfProduct
         jnp.asarray(right),
         jnp.asarray(is_add),
     )
+
+
+def phase2_tables_auto(field: Field, circuit, layer: int, eq_r, eq_u, w_dev, wu):
+    """(add_u, mul_u*W(u), W(u)+W) via gather plan or scatter."""
+    left, right, is_add, _, _ = circuit.wiring(layer)
+    k_in = circuit.layer_k(layer + 1)
+    n_gates = len(left)
+    plan = circuit.gather_plan(layer, "right")
+    if plan.shape[0] <= _GATHER_FANIN_MAX:
+        return _phase2_tables_g(
+            field,
+            1 << k_in,
+            eq_r[:, :n_gates],
+            eq_u,
+            w_dev,
+            wu,
+            jnp.asarray(left),
+            jnp.asarray(is_add),
+            jnp.asarray(plan),
+        )
+    return _phase2_tables(
+        field,
+        1 << k_in,
+        eq_r[:, :n_gates],
+        eq_u,
+        w_dev,
+        wu,
+        jnp.asarray(left),
+        jnp.asarray(right),
+        jnp.asarray(is_add),
+    )
+
+
+def build_phase1(field: Field, circuit, layer: int, eq_r, w_dev) -> SumOfProducts:
+    """Phase-1 polynomial over b: G1(b)*W(b) + A2(b)."""
+    k_in = circuit.layer_k(layer + 1)
+    g1, a2 = phase1_tables_auto(field, circuit, layer, eq_r, w_dev)
     w = MLE(field, k_in, w_dev)
     return SumOfProducts(
         [ProductPoly([MLE(field, k_in, g1), w]), ProductPoly([MLE(field, k_in, a2)])]
@@ -392,20 +489,10 @@ def build_phase2(
     """Phase-2 polynomial over c (b fixed at u):
     add_u(c)*(W(u)+W(c)) + [mul_u(c)*W(u)]*W(c).  Also returns W(u) as a
     (L, 1) device scalar (the layer proof's w_b, decoded later)."""
-    left, right, is_add, _, _ = circuit.wiring(layer)
     k_in = circuit.layer_k(layer + 1)
-    n_gates = len(left)
     wu = mle_eval_points(field, w_dev, [u])  # (L, 1)
-    add_u, mul_u_s, w_shift = _phase2_tables(
-        field,
-        1 << k_in,
-        eq_r[:, :n_gates],
-        eq_table(field, u),
-        w_dev,
-        wu,
-        jnp.asarray(left),
-        jnp.asarray(right),
-        jnp.asarray(is_add),
+    add_u, mul_u_s, w_shift = phase2_tables_auto(
+        field, circuit, layer, eq_r, eq_table(field, u), w_dev, wu
     )
     poly = SumOfProducts(
         [

@@ -234,18 +234,22 @@ class SumcheckProver:
             pos = len(pend)
             stacks = [jnp.stack(term) for term in terms]
             ks = tuple(s.shape[0] for s in stacks)
-            # run nearly every round on device; the last few sub-128
-            # rounds stay on host — below the fused-kernel floor each
-            # device round is hundreds of tiny XLA ops, pricier than
-            # ~250 host bigint mults.  An explicit tail_size always wins
+            # On TPU every round runs on device: the sub-capacity tail is
+            # ONE fused dispatch (capacity._tail_fused_fn), cheaper than
+            # the host tail's table-decode sync (~26 ms tunnel RTT).  On
+            # the CPU tiers the last sub-128 rounds stay on host (device
+            # rounds there are hundreds of tiny XLA ops vs ~250 host
+            # bigint mults).  An explicit tail_size always wins
             # (tier-differential tests).
-            chain_tail = min(128, tail) if tail_size is None else tail
+            chain_tail = (
+                (1 if use_pallas else min(128, tail)) if tail_size is None else tail
+            )
             rounds, s_sz = 0, size
             while s_sz > chain_tail and rounds < n_vars:
                 rounds += 1
                 s_sz //= 2
             fold_last = rounds < n_vars  # host tail continues from stacks
-            sums_dev, chall_dev, lo, hi, buf, stacks, _dev_size = C.run_device_rounds(
+            sums_dev, chall_dev, _ch_m, lo, hi, buf, stacks, _dev_size = C.run_device_rounds(
                 field,
                 degree,
                 ks,

@@ -401,7 +401,7 @@ def _deg1_round_cap(field: Field, cap: int, pos: int, size, stack, acc, lo, hi, 
         field, 1, pos, lo, hi, buf, (acc,)
     )
     folded, acc2 = _fold_halfsums_cap.__wrapped__(field, cap, size, stack, ch_m)
-    return folded, acc2, lo, hi, buf, total, ch_c
+    return folded, acc2, lo, hi, buf, total, ch_c, ch_m
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4), donate_argnums=(6,))
@@ -416,7 +416,73 @@ def _transcript_fold_cap(
         field, degree, pos, lo, hi, buf, accs
     )
     folded = _fold_cap.__wrapped__(field, k, cap, size, stack, ch_m)
-    return folded, lo, hi, buf, total, ch_c
+    return folded, lo, hi, buf, total, ch_c, ch_m
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 1, 2, 3, 4), donate_argnums=(6,)
+)
+def _fused_round_cap(field: Field, degree: int, ks: tuple, cap: int, pos: int, size, stack, acc, lo, hi, buf):
+    """One dispatch for a general (degree, ks) steady-state round:
+    Fiat-Shamir on the pending accumulators, in-place fold at the fresh
+    challenge, AND the folded table's next-round sums — the general-k
+    sibling of _deg1_round_cap (fold and sums stay two HBM passes; the
+    dispatch is what the axon tunnel charges ~3-5 ms for, so fusing
+    halves the chain's drain time).  Only valid when the folded size
+    still meets the capacity-kernel floor (size//2 >= CAP_MIN)."""
+    lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap.__wrapped__(
+        field, degree, pos, lo, hi, buf, (acc,)
+    )
+    K_tot = sum(ks)
+    folded = _fold_cap.__wrapped__(field, K_tot, cap, size, stack, ch_m)
+    half = size // 2
+    if len(ks) == 1:
+        acc2 = _round_sums_cap.__wrapped__(field, degree, ks[0], cap, half, folded)
+    else:
+        acc2 = _round_sums_terms_cap.__wrapped__(field, degree, ks, cap, half, folded)
+    return folded, acc2, lo, hi, buf, total, ch_c, ch_m
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_fused_fn(
+    field: Field, degree: int, ks: tuple, entry: int, rounds: int, pos: int, fold_last: bool
+):
+    """ONE jitted program for every device round below the capacity
+    floor: `rounds` unrolled exact-size rounds (sums -> absorb ->
+    squeeze -> fold) from table size `entry` down.  The whole-loop
+    unroll that was abandoned for LARGE tables (round-2's 250 s cold
+    compiles) is exactly right here — shapes are <= CAP_MIN, the graphs
+    are tiny, and it turns ~2*rounds tunnel dispatches into one."""
+    from zk_tpu.sumcheck import kernels as K
+
+    @jax.jit
+    def run(stacks, lo, hi, buf):
+        size = entry
+        sums, chc, chm = [], [], []
+        p = pos
+        for rnd in range(rounds):
+            last = rnd == rounds - 1
+            will_fold = (not last) or fold_last
+            norms = tuple(
+                K._sums_norm_inner.__wrapped__(field, degree, k, size, s)
+                for k, s in zip(ks, stacks)
+            )
+            lo, hi, buf, total, ch_c, ch_m = K._transcript_round_impl(
+                field, degree, p, lo, hi, buf, norms
+            )
+            if will_fold:
+                stacks = tuple(
+                    K._fold_stack_inner.__wrapped__(field, k, size, s, ch_m)
+                    for k, s in zip(ks, stacks)
+                )
+                size //= 2
+            p = 32
+            sums.append(total)
+            chc.append(ch_c)
+            chm.append(ch_m)
+        return sums, chc, chm, lo, hi, buf, stacks
+
+    return run
 
 
 def run_device_rounds(
@@ -440,9 +506,11 @@ def run_device_rounds(
     stacks: list of freshly-materialized (k, L, size) factor stacks (one
     per product term) — they are donated to the in-place fold kernels.
     Returns (per-round sums [(L, D+1) canonical], per-round challenges
-    [(L, 1) canonical], lo, hi, buf, final stacks (live prefix only),
-    final size).  The final stacks are folded past the last round iff
-    fold_last (the host tail continues from them).
+    [(L, 1) canonical], per-round challenges [(L, 1) Montgomery — for
+    device consumers like the GKR layer chain], lo, hi, buf, final
+    stacks (live prefix only), final size).  The final stacks are folded
+    past the last round iff fold_last (the host tail continues from
+    them).
 
     Tiers: capacity Pallas kernels while size >= CAP_MIN on TPU (the
     degree-1 single-factor case fuses fold + next-round half sums into
@@ -468,7 +536,7 @@ def run_device_rounds(
         # one (sum(ks), L, cap) stack: one sums kernel + one fold kernel
         # per round regardless of term count (see _round_sums_terms_cap)
         stacks = [jnp.concatenate(stacks, axis=0)]
-    sums_all, chs_all = [], []
+    sums_all, chs_all, chs_mont = [], [], []
     pending_acc = None  # next-round sums already produced by a fused fold
     p = pos
     for rnd in range(rounds):
@@ -485,18 +553,25 @@ def run_device_rounds(
             else:
                 acc = _round_sums_cap(field, degree, k_eff, cap, size, stacks[0])
             if not will_fold:
-                lo, hi, buf, total, ch_c, _m = _transcript_round_cap(
+                lo, hi, buf, total, ch_c, ch_m = _transcript_round_cap(
                     field, degree, p, lo, hi, buf, (acc,)
                 )
             elif deg1 and not last:
                 # ONE dispatch: transcript + fused in-place fold + next sums
-                folded, pending_acc, lo, hi, buf, total, ch_c = _deg1_round_cap(
+                folded, pending_acc, lo, hi, buf, total, ch_c, ch_m = _deg1_round_cap(
                     field, cap, p, size, stacks[0], acc, lo, hi, buf
                 )
                 stacks = [folded]
                 size //= 2
+            elif not last and size // 2 >= CAP_MIN:
+                # general fused round: transcript + fold + next sums
+                folded, pending_acc, lo, hi, buf, total, ch_c, ch_m = _fused_round_cap(
+                    field, degree, ks, cap, p, size, stacks[0], acc, lo, hi, buf
+                )
+                stacks = [folded]
+                size //= 2
             else:
-                folded, lo, hi, buf, total, ch_c = _transcript_fold_cap(
+                folded, lo, hi, buf, total, ch_c, ch_m = _transcript_fold_cap(
                     field, degree, k_eff, cap, p, size, stacks[0], (acc,), lo, hi, buf
                 )
                 stacks = [folded]
@@ -508,6 +583,27 @@ def run_device_rounds(
                     stacks = _split_terms(stacks[0], ks)
                     combined = False
         else:
+            if use_pallas and pending_acc is None:
+                # TPU sub-capacity tail: every remaining round in ONE
+                # fused dispatch (_tail_fused_fn); the program's round
+                # sizes are exact, so trim any masked-tier buffer slack
+                stacks = [
+                    s[:, :, :size] if s.shape[-1] > size else s for s in stacks
+                ]
+                remaining = rounds - rnd
+                s_list, c_list, m_list, lo, hi, buf, stacks_t = _tail_fused_fn(
+                    field, degree, ks, size, remaining, p, fold_last
+                )(tuple(stacks), lo, hi, buf)
+                sums_all.extend(s_list)
+                chs_all.extend(c_list)
+                chs_mont.extend(m_list)
+                stacks = list(stacks_t)
+                size >>= remaining - (0 if fold_last else 1)
+                break
+            # masked fixed-capacity jnp tier: one compiled (sums, fold)
+            # graph pair serves a run of sizes (kernels.py); the buffer
+            # re-slices every 4 halvings to bound the masked overwork
+            sz_op = jnp.asarray(size, jnp.int32)
             if pending_acc is not None:
                 args = (pending_acc,)
                 pending_acc = None
@@ -516,26 +612,25 @@ def run_device_rounds(
                 )
             else:
                 norms = tuple(
-                    K._sums_norm_inner(field, degree, k, size, s)
-                    for k, s in zip(ks, stacks)
+                    K._sums_norm_masked(field, degree, sz_op, s) for s in stacks
                 )
                 lo, hi, buf, total, ch_c, ch_m = K._transcript_round(
                     field, degree, p, lo, hi, buf, norms
                 )
             if will_fold:
-                stacks = [
-                    K._fold_stack_inner(field, k, size, s, ch_m)
-                    for k, s in zip(ks, stacks)
-                ]
+                stacks = [K._fold_masked(field, sz_op, s, ch_m) for s in stacks]
                 size //= 2
+                if size >= 2 and size * 16 <= stacks[0].shape[-1]:
+                    stacks = [s[:, :, :size] for s in stacks]
         p = 32
         sums_all.append(total)
         chs_all.append(ch_c)
-    if in_cap and size < cap:
+        chs_mont.append(ch_m)
+    if stacks and stacks[0].shape[-1] > size:
         stacks = [s[:, :, :size] for s in stacks]
     if combined:
         stacks = _split_terms(stacks[0], ks)
-    return sums_all, chs_all, lo, hi, buf, stacks, size
+    return sums_all, chs_all, chs_mont, lo, hi, buf, stacks, size
 
 
 def _split_terms(stack, ks: tuple) -> list:

@@ -114,6 +114,68 @@ def _fold_stack_inner(field: Field, k: int, n: int, stack, r):
 
 
 # --------------------------------------------------------------------------
+# masked fixed-capacity jnp tier: ONE compiled graph serves a run of
+# sizes.  The per-size jnp graphs above recompile every round (the table
+# halves); under the XLA:CPU test backend the accumulated compiles are
+# both slow and the trigger of a known compiler segfault (pytest.ini).
+# Here the stack keeps a fixed (k, L, cap) shape, ``size`` is a traced
+# scalar, and dead lanes are masked out of the sums — the same dynamic-
+# size design as the Pallas capacity tier (capacity.py), in plain XLA.
+# Callers re-slice the buffer every few rounds (run_device_rounds) so
+# compile count is O(log(n)/4) per config instead of O(log n).
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _sums_norm_masked(field: Field, degree: int, size, stack):
+    """Masked round sums over the live prefix [0, size) of a (k, L, cap)
+    stack -> (degree+1, L+1) relaxed norm.  Pairs element i with
+    i + size/2 via a dynamic gather; lanes >= size/2 are zeroed before
+    accumulation, so the values equal the exact-size kernels'."""
+    k, L, cap = stack.shape
+    half = size // 2
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    ridx = jnp.where(iota + half < cap, iota + half, 0)
+    mask = (iota < half)[None, :]
+    facs = [(stack[t], stack[t][:, ridx]) for t in range(k)]
+    zeros = jnp.zeros((L, cap), U32)
+    out = []
+    for i in range(degree + 1):
+        if i >= 2:
+            r_i = jnp.asarray(dev.const_limbs(field, i)).reshape(L, 1)
+        prod = None
+        for left, right in facs:
+            if i == 0:
+                ev = left
+            elif i == 1:
+                ev = right
+            else:
+                ev = dev.lerp(field, left, right, r_i)
+            prod = ev if prod is None else dev.mont_mul(field, prod, ev)
+        out.append(dev.sum_mod(field, jnp.where(mask, prod, zeros), axis=-1))
+    mont = jnp.stack(out)  # (degree+1, L) proper Montgomery sums
+    return jnp.concatenate([mont, jnp.zeros((degree + 1, 1), U32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_masked(field: Field, size, stack, r):
+    """Masked fold at challenge r over the live prefix of a (k, L, cap)
+    stack: positions < size/2 get the lerp, the rest keep their (stale
+    but limb-valid) values.  Same result prefix as _fold_stack_inner."""
+    k, L, cap = stack.shape
+    half = size // 2
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    ridx = jnp.where(iota + half < cap, iota + half, 0)
+    mask = (iota < half)[None, :]
+    return jnp.stack(
+        [
+            jnp.where(mask, dev.lerp(field, stack[t], stack[t][:, ridx], r), stack[t])
+            for t in range(k)
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
 # relaxed-sum normalization + host decode
 # --------------------------------------------------------------------------
 
