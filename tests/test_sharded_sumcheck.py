@@ -137,3 +137,50 @@ def test_multi_axis_mesh_byte_identical():
         mesh2, pp, total, max_var_degree=1
     )
     assert sharded.round_polys == single.round_polys and ch_m == ch_s
+
+
+def test_presharded_stack_byte_identical():
+    """ShardedStack (the reusable pre-sharded layout) must prove the
+    same bytes as the from-poly path and survive multiple proves (the
+    working buffer is a clone; the caller's stack is not donated)."""
+    mesh = make_mesh(8)
+    poly = _random_mle(GOLDILOCKS, 7, 21)
+    pp = ProductPoly([poly])
+    total = sum(poly.evaluation_ints()) % GOLDILOCKS.p
+    stack = ShardedSumcheckProver.shard(mesh, pp)
+    proof_a, ch_a = ShardedSumcheckProver.prove_partial(mesh, stack, total, max_var_degree=1)
+    proof_b, ch_b = ShardedSumcheckProver.prove_partial(mesh, stack, total, max_var_degree=1)
+    proof_1, ch_1 = SumcheckProver.prove_partial(pp, total, max_var_degree=1)
+    assert proof_a.round_polys == proof_1.round_polys and ch_a == ch_1
+    assert proof_b.round_polys == proof_1.round_polys and ch_b == ch_1
+
+
+def test_presharded_stack_wrong_mesh_rejected():
+    stack = ShardedSumcheckProver.shard(make_mesh(4), ProductPoly([_random_mle(F17, 5, 22)]))
+    with pytest.raises(ValueError, match="different mesh"):
+        ShardedSumcheckProver.prove_partial(make_mesh(8), stack, 0, max_var_degree=1)
+
+
+def test_sharded_replicated_tail_byte_identical(monkeypatch):
+    """TPU tier's sub-capacity flow: once the live table is below the
+    capacity floor the sharded prover all-gathers on device and runs the
+    single-chip fused tail (one dispatch, no host syncs).  Forced on the
+    CPU sim via ZK_TPU_SHARDED_REPL_TAIL; bytes must match both the
+    default sharded path and the single-chip prover."""
+    monkeypatch.setenv("ZK_TPU_SHARDED_REPL_TAIL", "1")
+    mesh = make_mesh(8)
+    for field, n_vars, k in ((GOLDILOCKS, 8, 1), (FR, 6, 2)):
+        polys = [_random_mle(field, n_vars, 60 + i) for i in range(k)]
+        pp = ProductPoly(polys)
+        total = 0
+        for vals in zip(*(p.evaluation_ints() for p in polys)):
+            prod = 1
+            for v in vals:
+                prod = field.mul(prod, v)
+            total = field.add(total, prod)
+        proof_s, ch_s = ShardedSumcheckProver.prove_partial(
+            mesh, pp, total, device_transcript=True
+        )
+        proof_1, ch_1 = SumcheckProver.prove_partial(pp, total, device_transcript=False)
+        assert proof_s.round_polys == proof_1.round_polys
+        assert ch_s == ch_1

@@ -28,8 +28,9 @@ w_b, w_c bytes -> q evals bytes -> sample r*].
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
+import jax
 import jax.numpy as jnp
 
 from zk_tpu.fields import device as dev
@@ -63,6 +64,12 @@ class LayerProof:
 class GKRProof:
     outputs: list[int]
     layer_proofs: list[LayerProof]
+    # canonical BE serialization of `outputs`, when already at hand
+    # (prover fetched it; from_bytes parsed it) — saves the verifier a
+    # 2^19-iteration int.to_bytes loop (~0.24 s at the bench scale).
+    # Pure cache: excluded from equality; always identical to
+    # field.elements_to_bytes(outputs) for canonical values.
+    outputs_bytes: bytes | None = dc_field(default=None, compare=False)
 
 
 # --------------------------------------------------------------------------
@@ -300,7 +307,12 @@ class GKRProver:
                 LayerProof(sumcheck=proof, w_b=w_b, w_c=w_c, q_evals=q_evals)
             )
 
-        return GKRProof(outputs=outputs, layer_proofs=layer_proofs), levels
+        return (
+            GKRProof(
+                outputs=outputs, layer_proofs=layer_proofs, outputs_bytes=out_bytes
+            ),
+            levels,
+        )
 
     @staticmethod
     def prove_dense(
@@ -367,7 +379,13 @@ def gkr_proof_to_bytes(field: Field, proof: GKRProof) -> bytes:
 
     out = bytearray()
     out += len(proof.outputs).to_bytes(4, "big")
-    out += field.elements_to_bytes(proof.outputs)
+    if (
+        proof.outputs_bytes is not None
+        and len(proof.outputs_bytes) == len(proof.outputs) * field.n_bytes
+    ):
+        out += proof.outputs_bytes
+    else:
+        out += field.elements_to_bytes(proof.outputs)
     out += len(proof.layer_proofs).to_bytes(4, "big")
     for lp in proof.layer_proofs:
         sc = proof_to_bytes(field, lp.sumcheck)
@@ -400,7 +418,10 @@ def gkr_proof_from_bytes(field: Field, data: bytes) -> GKRProof:
         off += count * nb
         return out
 
-    outputs = elems(u32())
+    n_out = u32()
+    ob_start = off
+    outputs = elems(n_out)
+    outputs_bytes = data[ob_start : ob_start + n_out * nb]
     layer_proofs = []
     for _ in range(u32()):
         sc_len = u32()
@@ -413,7 +434,9 @@ def gkr_proof_from_bytes(field: Field, data: bytes) -> GKRProof:
         )
     if off != len(data):
         raise ValueError("trailing bytes in serialized GKR proof")
-    return GKRProof(outputs=outputs, layer_proofs=layer_proofs)
+    return GKRProof(
+        outputs=outputs, layer_proofs=layer_proofs, outputs_bytes=outputs_bytes
+    )
 
 
 # --------------------------------------------------------------------------
@@ -432,24 +455,41 @@ class GKRVerifier:
         if len(proof.layer_proofs) != circuit.depth:
             raise GKRError("invalid proof: require one layer proof per circuit layer")
 
-        transcript = Transcript()
-        transcript.append(field.elements_to_bytes(proof.outputs))
-        r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
-        padded_out = proof.outputs + [0] * (
-            (1 << circuit.layer_k(0)) - len(proof.outputs)
-        )
-        if len(padded_out) > 4096:
+        # Canonical output bytes: reuse the proof's cache when present
+        # (attached by the prover / the deserializer) — recomputing is a
+        # 2^19-iteration int.to_bytes loop at the bench scale.  The
+        # transcript binds these exact bytes (the standard FS rule:
+        # absorb what was received); for canonical encodings this is
+        # byte-identical to elements_to_bytes(outputs).
+        out_bytes = proof.outputs_bytes
+        if out_bytes is None or len(out_bytes) != len(proof.outputs) * field.n_bytes:
+            out_bytes = field.elements_to_bytes(proof.outputs)
+
+        pad_n = 1 << circuit.layer_k(0)
+        big_out = pad_n > 4096
+        if big_out:
             from zk_tpu.gkr import device as gdev
 
-            m = dev.decode_ints(
-                field,
-                gdev.mle_eval_points(
-                    field, dev.encode_ints(field, padded_out), [r]
-                ),
-            )[0]
+            # start the output-table upload BEFORE the host keccak
+            # absorb: the device transfer is async, so the ~16 MB upload
+            # overlaps the ~0.2 s host hashing below
+            out_dev = dev.encode_bytes_be(
+                field, out_bytes + b"\x00" * ((pad_n - len(proof.outputs)) * field.n_bytes)
+            )
+
+        transcript = Transcript()
+        transcript.append(out_bytes)
+        r = transcript.sample_n_field_elements(field, circuit.layer_k(0))
+        if big_out:
+            m = dev.decode_ints(field, gdev.mle_eval_points(field, out_dev, [r]))[0]
         else:
+            padded_out = proof.outputs + [0] * (pad_n - len(proof.outputs))
             m = mle_eval_host(field, padded_out, r)
 
+        # per-layer oracle checks run on device; their decodes batch into
+        # ONE sync after the (host, serial) transcript loop — the oracle
+        # values feed only the checks, never the Fiat-Shamir chain
+        deferred: list[tuple[int, object, int, int, int]] = []
         for i, lp in enumerate(proof.layer_proofs):
             k_in = circuit.layer_k(i + 1)
             if len(lp.sumcheck.round_polys) != 2 * k_in:
@@ -465,20 +505,22 @@ class GKRVerifier:
             transcript.append(field.elements_to_bytes([lp.w_b, lp.w_c]))
 
             # oracle check of the layer polynomial at (b*, c*) — device
-            # eq-gather kernel for big layers, host eq-sum for small ones
+            # eq-gather kernel for big layers (decode deferred to one
+            # batched sync), host eq-sum for small ones
             if len(circuit.layers[i]) > 256:
                 from zk_tpu.gkr import device as gdev
 
-                add_e, mul_e = gdev.wiring_eval(field, circuit, i, r, b_star, c_star)
+                handle = gdev.wiring_eval_async(field, circuit, i, r, b_star, c_star)
+                deferred.append((i, handle, lp.w_b, lp.w_c, subclaim.sum))
             else:
                 add_e = _wiring_eval_host(field, circuit, i, ADD, r + b_star + c_star)
                 mul_e = _wiring_eval_host(field, circuit, i, "mul", r + b_star + c_star)
-            expect = field.add(
-                field.mul(add_e, field.add(lp.w_b, lp.w_c)),
-                field.mul(mul_e, field.mul(lp.w_b, lp.w_c)),
-            )
-            if expect != subclaim.sum:
-                raise GKRError("layer oracle check failed")
+                expect = field.add(
+                    field.mul(add_e, field.add(lp.w_b, lp.w_c)),
+                    field.mul(mul_e, field.mul(lp.w_b, lp.w_c)),
+                )
+                if expect != subclaim.sum:
+                    raise GKRError("layer oracle check failed")
 
             # line-restriction consistency + claim reduction
             if len(lp.q_evals) != k_in + 1:
@@ -496,23 +538,45 @@ class GKRVerifier:
 
         # final oracle check against the input MLE (device fold for big
         # input vectors — incl. device-resident inputs — exact host ints
-        # for small ones)
+        # for small ones); enqueued before the deferred-oracle sync so
+        # one device drain covers both
         pad_to = 1 << circuit.layer_k(circuit.depth)
+        got_handle = None
         if isinstance(inputs, jnp.ndarray):
             from zk_tpu.gkr import device as gdev
 
             data = inputs
             if pad_to > data.shape[-1]:
                 data = jnp.pad(data, ((0, 0), (0, pad_to - data.shape[-1])))
-            got = dev.decode_ints(field, gdev.mle_eval_points(field, data, [r]))[0]
-            return got == m
-        padded_inputs = [v % field.p for v in inputs] + [0] * (pad_to - len(inputs))
-        if len(padded_inputs) > 4096:
-            from zk_tpu.gkr import device as gdev
+            got_handle = gdev.mle_eval_points(field, data, [r])
+        else:
+            padded_inputs = [v % field.p for v in inputs] + [0] * (
+                pad_to - len(inputs)
+            )
+            if len(padded_inputs) > 4096:
+                from zk_tpu.gkr import device as gdev
 
-            got = dev.decode_ints(
-                field,
-                gdev.mle_eval_points(field, dev.encode_ints(field, padded_inputs), [r]),
-            )[0]
-            return got == m
+                got_handle = gdev.mle_eval_points(
+                    field, dev.encode_ints(field, padded_inputs), [r]
+                )
+
+        # ONE device_get covers every deferred oracle value + the final
+        # input evaluation (each separate decode would pay a ~26 ms RTT)
+        handles = [h for _, h, _, _, _ in deferred]
+        if got_handle is not None:
+            handles.append(got_handle)
+        fetched = jax.device_get(handles) if handles else []
+
+        for (i, _h, w_b, w_c, claimed), arr in zip(deferred, fetched):
+            vals = dev.decode_ints(field, arr)
+            add_e, mul_e = vals[0], vals[1]
+            expect = field.add(
+                field.mul(add_e, field.add(w_b, w_c)),
+                field.mul(mul_e, field.mul(w_b, w_c)),
+            )
+            if expect != claimed:
+                raise GKRError("layer oracle check failed")
+
+        if got_handle is not None:
+            return dev.decode_ints(field, fetched[-1])[0] == m
         return mle_eval_host(field, padded_inputs, r) == m

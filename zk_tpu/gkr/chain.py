@@ -168,14 +168,13 @@ def prove_chain(field: Field, circuit, inputs):
     nb = field.n_bytes
     L = field.n_limbs
 
-    with timer("gkr witness (device circuit eval)"):
+    with timer("gkr witness (device circuit eval + output fetch)"):
         levels = gdev.evaluate_device(circuit, field, inputs)
         n_out = len(circuit.layers[0])
+        # ONE 16 MB-class fetch; parsing the bytes into proof ints is
+        # deferred until the layer chain is enqueued (it then overlaps
+        # the device drain — ~0.2 s of host work off the critical path)
         out_bytes = dev.decode_bytes_be(field, levels[0])[: n_out * nb]
-        outputs = [
-            int.from_bytes(out_bytes[i * nb : (i + 1) * nb], "big")
-            for i in range(n_out)
-        ]
 
     transcript = Transcript()
     with timer("gkr bind outputs + r0"):
@@ -236,6 +235,13 @@ def prove_chain(field: Field, circuit, inputs):
             pos = 32
             per_layer.append((m_layer, sums1 + sums2, q_canon))
 
+    # outputs parse while the enqueued chain drains on device
+    with timer("gkr parse outputs (overlaps device drain)"):
+        outputs = [
+            int.from_bytes(out_bytes[i * nb : (i + 1) * nb], "big")
+            for i in range(n_out)
+        ]
+
     # ---- THE one sync: every proof component + the sponge state
     with timer("gkr final sync + proof assembly"):
         fetched = jax.device_get((per_layer, lo, hi, buf))
@@ -257,4 +263,7 @@ def prove_chain(field: Field, circuit, inputs):
         pend = bytes(int(x) & 0xFF for x in buf_h[:pos])
         transcript.import_state(lanes, pend)
 
-    return GKRProof(outputs=outputs, layer_proofs=layer_proofs), levels
+    return (
+        GKRProof(outputs=outputs, layer_proofs=layer_proofs, outputs_bytes=out_bytes),
+        levels,
+    )

@@ -87,6 +87,7 @@ class Circuit:
         obj.n_inputs = n_inputs
         obj._wiring = {}
         obj._plans = {}
+        obj._dev_cache = {}
         if not layers:
             raise ValueError("circuit must have at least one layer")
         if n_inputs < 1:
@@ -109,6 +110,7 @@ class Circuit:
         self.n_inputs = n_inputs
         self._wiring: dict[int, tuple] = {}
         self._plans: dict[tuple, np.ndarray] = {}
+        self._dev_cache: dict[tuple, object] = {}
         # validate wiring
         for i, layer in enumerate(layers):
             below = len(layers[i + 1]) if i + 1 < len(layers) else n_inputs
@@ -179,6 +181,37 @@ class Circuit:
         perms[rank, sp] = order
         self._plans[key] = perms
         return perms
+
+    def device_wiring(self, i: int) -> tuple:
+        """Device-resident wiring for layer i: (left, right, is_add) as
+        jax arrays, uploaded ONCE per circuit and cached on the instance.
+
+        The GKR prover/verifier build phase tables and layer evals from
+        these arrays every prove; re-uploading the ~4.5 MB of wiring per
+        table build over the axon tunnel (~34 MB/s) was the top warm
+        GKR prove cost of round 4 (~0.13 s per build, ~0.6 s per
+        2-layer prove)."""
+        key = ("wiring", i)
+        cached = self._dev_cache.get(key)
+        if cached is None:
+            import jax.numpy as jnp
+
+            left, right, is_add, _, _ = self.wiring(i)
+            cached = (jnp.asarray(left), jnp.asarray(right), jnp.asarray(is_add))
+            self._dev_cache[key] = cached
+        return cached
+
+    def device_gather_plan(self, i: int, which: str):
+        """gather_plan(i, which) uploaded once and cached (see
+        device_wiring)."""
+        key = ("plan", i, which)
+        cached = self._dev_cache.get(key)
+        if cached is None:
+            import jax.numpy as jnp
+
+            cached = jnp.asarray(self.gather_plan(i, which))
+            self._dev_cache[key] = cached
+        return cached
 
     def evaluate(self, field: Field, inputs: list[int]) -> list[list[int]]:
         """Wire values per level, output level first; each vector padded

@@ -234,27 +234,31 @@ def _sharded_layer_fn(field: Field, mesh):
     return f
 
 
-def _layer_eval_sharded(field: Field, mesh, pad_to: int, cur, left, right, is_add):
+def _layer_eval_sharded(field: Field, mesh, pad_to: int, cur, circuit, layer: int):
     """One circuit layer over the mesh: wiring padded to the 2^k output
     width and sharded on the gate axis; padded slots compute garbage that
-    the validity mask zeroes (matching _layer_eval's zero padding)."""
+    the validity mask zeroes (matching _layer_eval's zero padding).  The
+    padded sharded wiring uploads once per (circuit, mesh, layer) and is
+    cached on the circuit (see Circuit.device_wiring)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n = len(left)
-    shard = NamedSharding(mesh, P("x"))
     cur = jax.device_put(cur, NamedSharding(mesh, P()))  # replicate lower level
-    lp = np.zeros(pad_to, dtype=np.int32)
-    rp = np.zeros(pad_to, dtype=np.int32)
-    ap = np.zeros(pad_to, dtype=bool)
-    vp = np.zeros(pad_to, dtype=bool)
-    lp[:n], rp[:n], ap[:n], vp[:n] = left, right, is_add, True
-    out = _sharded_layer_fn(field, mesh)(
-        cur,
-        jax.device_put(jnp.asarray(lp), shard),
-        jax.device_put(jnp.asarray(rp), shard),
-        jax.device_put(jnp.asarray(ap), shard),
-        jax.device_put(jnp.asarray(vp), shard),
-    )
+    key = ("sharded_wiring", layer, mesh)
+    wired = circuit._dev_cache.get(key)
+    if wired is None:
+        left, right, is_add, _, _ = circuit.wiring(layer)
+        n = len(left)
+        shard = NamedSharding(mesh, P("x"))
+        lp = np.zeros(pad_to, dtype=np.int32)
+        rp = np.zeros(pad_to, dtype=np.int32)
+        ap = np.zeros(pad_to, dtype=bool)
+        vp = np.zeros(pad_to, dtype=bool)
+        lp[:n], rp[:n], ap[:n], vp[:n] = left, right, is_add, True
+        wired = tuple(
+            jax.device_put(jnp.asarray(x), shard) for x in (lp, rp, ap, vp)
+        )
+        circuit._dev_cache[key] = wired
+    out = _sharded_layer_fn(field, mesh)(cur, *wired)
     # re-replicate for the next layer's (arbitrary-wiring) gathers —
     # the one all-gather per layer this evaluation strategy pays
     return jax.device_put(out, NamedSharding(mesh, P()))
@@ -291,19 +295,11 @@ def evaluate_device(circuit, field: Field, inputs, mesh=None) -> list[jnp.ndarra
     levels: list = [None] * (circuit.depth + 1)
     levels[circuit.depth] = cur
     for i in range(circuit.depth - 1, -1, -1):
-        left, right, is_add, _, _ = circuit.wiring(i)
         pad_to = 1 << circuit.layer_k(i)
         if mesh is not None and pad_to % mesh.devices.size == 0:
-            cur = _layer_eval_sharded(field, mesh, pad_to, cur, left, right, is_add)
+            cur = _layer_eval_sharded(field, mesh, pad_to, cur, circuit, i)
         else:
-            cur = _layer_eval(
-                field,
-                pad_to,
-                cur,
-                jnp.asarray(left),
-                jnp.asarray(right),
-                jnp.asarray(is_add),
-            )
+            cur = _layer_eval(field, pad_to, cur, *circuit.device_wiring(i))
         levels[i] = cur
     return levels
 
@@ -417,38 +413,30 @@ def _phase2_tables(field: Field, size_in: int, eq_r, eq_u, w_dev, wu, left, righ
 
 def phase1_tables_auto(field: Field, circuit, layer: int, eq_r, w_dev):
     """(G1, A2) via the gather plan when fan-in permits, scatter otherwise."""
-    left, right, is_add, _, _ = circuit.wiring(layer)
+    n_gates = circuit.layer_size(layer)
     k_in = circuit.layer_k(layer + 1)
-    n_gates = len(left)
-    plan = circuit.gather_plan(layer, "left")
-    if plan.shape[0] <= _GATHER_FANIN_MAX:
+    left_d, right_d, is_add_d = circuit.device_wiring(layer)
+    if circuit.gather_plan(layer, "left").shape[0] <= _GATHER_FANIN_MAX:
         return _phase1_tables_g(
             field,
             1 << k_in,
             eq_r[:, :n_gates],
             w_dev,
-            jnp.asarray(right),
-            jnp.asarray(is_add),
-            jnp.asarray(plan),
+            right_d,
+            is_add_d,
+            circuit.device_gather_plan(layer, "left"),
         )
     return _phase1_tables(
-        field,
-        1 << k_in,
-        eq_r[:, :n_gates],
-        w_dev,
-        jnp.asarray(left),
-        jnp.asarray(right),
-        jnp.asarray(is_add),
+        field, 1 << k_in, eq_r[:, :n_gates], w_dev, left_d, right_d, is_add_d
     )
 
 
 def phase2_tables_auto(field: Field, circuit, layer: int, eq_r, eq_u, w_dev, wu):
     """(add_u, mul_u*W(u), W(u)+W) via gather plan or scatter."""
-    left, right, is_add, _, _ = circuit.wiring(layer)
+    n_gates = circuit.layer_size(layer)
     k_in = circuit.layer_k(layer + 1)
-    n_gates = len(left)
-    plan = circuit.gather_plan(layer, "right")
-    if plan.shape[0] <= _GATHER_FANIN_MAX:
+    left_d, right_d, is_add_d = circuit.device_wiring(layer)
+    if circuit.gather_plan(layer, "right").shape[0] <= _GATHER_FANIN_MAX:
         return _phase2_tables_g(
             field,
             1 << k_in,
@@ -456,9 +444,9 @@ def phase2_tables_auto(field: Field, circuit, layer: int, eq_r, eq_u, w_dev, wu)
             eq_u,
             w_dev,
             wu,
-            jnp.asarray(left),
-            jnp.asarray(is_add),
-            jnp.asarray(plan),
+            left_d,
+            is_add_d,
+            circuit.device_gather_plan(layer, "right"),
         )
     return _phase2_tables(
         field,
@@ -467,9 +455,9 @@ def phase2_tables_auto(field: Field, circuit, layer: int, eq_r, eq_u, w_dev, wu)
         eq_u,
         w_dev,
         wu,
-        jnp.asarray(left),
-        jnp.asarray(right),
-        jnp.asarray(is_add),
+        left_d,
+        right_d,
+        is_add_d,
     )
 
 
@@ -520,21 +508,27 @@ def _wiring_eval_kernel(field: Field, eq_r, eq_b, eq_c, left, right, is_add):
     return jnp.stack([add_sum, mul_sum], axis=-1)
 
 
+def wiring_eval_async(
+    field: Field, circuit, layer: int, r: list[int], b: list[int], c: list[int]
+) -> jnp.ndarray:
+    """Enqueue the (add~, mul~) evaluation at (r, b, c); returns the
+    (L, 2) device handle WITHOUT syncing — the GKR verifier batches all
+    layers' oracle values into one device_get (the per-layer ~26 ms
+    readback RTTs were a top warm-verify cost)."""
+    n_gates = circuit.layer_size(layer)
+    return _wiring_eval_kernel(
+        field,
+        eq_table(field, r)[:, :n_gates],
+        eq_table(field, b),
+        eq_table(field, c),
+        *circuit.device_wiring(layer),
+    )
+
+
 def wiring_eval(
     field: Field, circuit, layer: int, r: list[int], b: list[int], c: list[int]
 ) -> tuple[int, int]:
     """Evaluate (add~_layer, mul~_layer) at (r, b, c) on device in
     O(gates) — same values as the host eq-sum (gkr._wiring_eval_host)."""
-    left, right, is_add, _, _ = circuit.wiring(layer)
-    n_gates = len(left)
-    out = _wiring_eval_kernel(
-        field,
-        eq_table(field, r)[:, :n_gates],
-        eq_table(field, b),
-        eq_table(field, c),
-        jnp.asarray(left),
-        jnp.asarray(right),
-        jnp.asarray(is_add),
-    )
-    vals = dev.decode_ints(field, out)
+    vals = dev.decode_ints(field, wiring_eval_async(field, circuit, layer, r, b, c))
     return vals[0], vals[1]

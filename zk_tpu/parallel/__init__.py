@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
 
-from zk_tpu.parallel.sumcheck import ShardedSumcheckProver  # noqa: F401
+from zk_tpu.parallel.sumcheck import ShardedStack, ShardedSumcheckProver  # noqa: F401
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
