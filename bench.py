@@ -47,6 +47,28 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def sample_stall_rejected(fn, batches=5, max_extra=3):
+    """Criterion-style batched sampling with tunnel-stall rejection: run
+    fn() `batches` times, discarding samples > 3x the running minimum
+    (the axon tunnel randomly stalls for minutes — round 4 published a
+    1294 s "cold GKR prove" that was one such window).  Returns
+    (median, min, max, n_kept).  fn must block until done (device_get /
+    block_until_ready inside)."""
+    samples = []
+    attempts = 0
+    while len(samples) < batches and attempts < batches + max_extra:
+        attempts += 1
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        if samples and dt > 3 * min(samples):
+            log(f"  sample {dt:.3f}s discarded (stall window)")
+            continue
+        samples.append(dt)
+    samples.sort()
+    return samples[len(samples) // 2], samples[0], samples[-1], len(samples)
+
+
 def host_baseline_mults_per_sec(field, n=16, seed=3):
     """Reference-shaped host fold (evaluation_form.rs:54-79) on Python
     bigints: the measured in-image baseline for vs_baseline."""
@@ -129,25 +151,41 @@ def bench_gkr(field, width_log=19, depth=2):
 
     t0 = time.time()
     proof, _ = GKRProver.prove(field, c, inputs)
-    log(f"gkr {depth}x2^{width_log} gates cold prove: {time.time() - t0:.1f}s")
-    # warm prove with the PERF_LOG stage timers on (stderr): the
-    # per-stage breakdown the round-3 verdict asked for
+    log(
+        f"gkr {depth}x2^{width_log} gates cold prove: {time.time() - t0:.1f}s "
+        f"(single sample incl. compiles; may include tunnel stall windows)"
+    )
+    # warm prove: median of stall-rejected samples (the same methodology
+    # as the headline — round-4 verdict ask #1), then ONE extra prove
+    # with the PERF_LOG stage timers on so the per-stage breakdown that
+    # sums to the warm number is in the same capture
+    med, lo_s, hi_s, kept = sample_stall_rejected(
+        lambda: GKRProver.prove(field, c, inputs), batches=5
+    )
+    log(
+        f"gkr {depth}x2^{width_log} gates warm prove: median {med:.3f}s "
+        f"(min {lo_s:.3f} max {hi_s:.3f}, {kept} samples)"
+    )
     os.environ["PERF_LOG"] = "true"
     try:
         t0 = time.time()
         proof, _ = GKRProver.prove(field, c, inputs)
-        dt = time.time() - t0
+        log(f"  (stage-instrumented warm prove above: {time.time() - t0:.3f}s)")
     finally:
         os.environ.pop("PERF_LOG", None)
-    log(f"gkr {depth}x2^{width_log} gates warm prove: {dt:.3f}s")
     t0 = time.time()
     ok = GKRVerifier.verify(field, c, inputs, proof)
     assert ok, "GKR verification failed"
-    log(f"gkr cold verify: {time.time() - t0:.3f}s (accepted)")
-    t0 = time.time()
-    ok = GKRVerifier.verify(field, c, inputs, proof)
-    assert ok, "GKR verification failed"
-    log(f"gkr warm verify: {time.time() - t0:.3f}s (accepted)")
+    log(f"gkr cold verify: {time.time() - t0:.3f}s (accepted; single sample)")
+
+    def _verify():
+        assert GKRVerifier.verify(field, c, inputs, proof)
+
+    vmed, vlo, vhi, vkept = sample_stall_rejected(_verify, batches=5)
+    log(
+        f"gkr warm verify: median {vmed:.3f}s "
+        f"(min {vlo:.3f} max {vhi:.3f}, {vkept} samples, accepted)"
+    )
 
 
 def bench_2pow26():
@@ -210,12 +248,17 @@ def bench_ntt(n_log=20):
     n = 1 << n_log
     vals = [(i * 0x12345 + 7) % GOLDILOCKS.p for i in range(n)]
     data = dev.encode_ints(GOLDILOCKS, vals)
-    out = intt_device(GOLDILOCKS, ntt_device(GOLDILOCKS, data))
-    jax.device_get(out[:1, :1])
-    t0 = time.time()
-    out = intt_device(GOLDILOCKS, ntt_device(GOLDILOCKS, data))
-    jax.device_get(out[:1, :1])
-    log(f"ntt+intt roundtrip 2^{n_log} goldilocks warm: {time.time() - t0:.3f}s")
+
+    def _roundtrip():
+        out = intt_device(GOLDILOCKS, ntt_device(GOLDILOCKS, data))
+        jax.device_get(out[:1, :1])
+
+    _roundtrip()  # compile
+    med, lo_s, hi_s, kept = sample_stall_rejected(_roundtrip, batches=5)
+    log(
+        f"ntt+intt roundtrip 2^{n_log} goldilocks warm: median {med:.3f}s "
+        f"(min {lo_s:.3f} max {hi_s:.3f}, {kept} samples)"
+    )
 
 
 def main():

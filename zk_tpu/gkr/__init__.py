@@ -70,6 +70,12 @@ class GKRProof:
     # Pure cache: excluded from equality; always identical to
     # field.elements_to_bytes(outputs) for canonical values.
     outputs_bytes: bytes | None = dc_field(default=None, compare=False)
+    # verifier-populated cache of the device-encoded padded output table
+    # (a pure function of outputs_bytes): repeated verifications of the
+    # same proof skip the output-table upload — on the axon tunnel a
+    # 16 MB upload costs ~0.5 s, ~500x its real PCIe cost.  Excluded
+    # from equality; never trusted across proofs (keyed checks below).
+    _out_dev: object = dc_field(default=None, compare=False, repr=False)
 
 
 # --------------------------------------------------------------------------
@@ -472,10 +478,24 @@ class GKRVerifier:
 
             # start the output-table upload BEFORE the host keccak
             # absorb: the device transfer is async, so the ~16 MB upload
-            # overlaps the ~0.2 s host hashing below
-            out_dev = dev.encode_bytes_be(
-                field, out_bytes + b"\x00" * ((pad_n - len(proof.outputs)) * field.n_bytes)
-            )
+            # overlaps the ~0.2 s host hashing below.  The encoded table
+            # is cached on the proof (keyed by shape; a pure function of
+            # out_bytes, which the dataclass owns) so re-verifying the
+            # same proof pays the upload once.
+            cached = proof._out_dev
+            if (
+                isinstance(cached, tuple)
+                and cached[0] == (field.name, pad_n)
+                and cached[1] is not None
+            ):
+                out_dev = cached[1]
+            else:
+                out_dev = dev.encode_bytes_be(
+                    field,
+                    out_bytes
+                    + b"\x00" * ((pad_n - len(proof.outputs)) * field.n_bytes),
+                )
+                proof._out_dev = ((field.name, pad_n), out_dev)
 
         transcript = Transcript()
         transcript.append(out_bytes)

@@ -515,10 +515,12 @@ class ShardedSumcheckProver:
         sum: int,
         max_var_degree: int | None = None,
         device_transcript: bool | None = None,
+        tail_size: int | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
         transcript = Transcript()
         return ShardedSumcheckProver._prove_internal(
-            mesh, poly, sum, transcript, max_var_degree, device_transcript
+            mesh, poly, sum, transcript, max_var_degree, device_transcript,
+            tail_size=tail_size,
         )
 
     @staticmethod
@@ -528,13 +530,15 @@ class ShardedSumcheckProver:
         sum: int,
         max_var_degree: int | None = None,
         device_transcript: bool | None = None,
+        tail_size: int | None = None,
     ) -> SumcheckProof:
         from zk_tpu.sumcheck import absorb_poly
 
         transcript = Transcript()
         absorb_poly(transcript, poly)
         proof, _ = ShardedSumcheckProver._prove_internal(
-            mesh, poly, sum, transcript, max_var_degree, device_transcript
+            mesh, poly, sum, transcript, max_var_degree, device_transcript,
+            tail_size=tail_size,
         )
         return proof
 
@@ -547,11 +551,17 @@ class ShardedSumcheckProver:
         max_var_degree: int | None = None,
         device_transcript: bool | None = None,
         bind_sum: bool = True,
+        tail_size: int | None = None,
     ) -> tuple[SumcheckProof, list[int]]:
         """bind_sum=False skips the claimed-sum transcript binding — used
         by the two-phase (Libra) GKR prover, whose second phase continues
-        a sumcheck already bound (see SumcheckProver._prove_internal)."""
-        from zk_tpu.fields.pallas_kernels import on_tpu
+        a sumcheck already bound (see SumcheckProver._prove_internal).
+
+        tail_size overrides the chain-tail threshold (the global live
+        size below which the remaining rounds run on host ints) — the
+        sharded twin of SumcheckProver's tail_size knob.  Proof bytes
+        are identical for any setting; the CPU-simulated dryrun uses it
+        to bound per-round XLA:CPU compiles at wide-field shapes."""
         from zk_tpu.transcript import device as tdev
 
         pre_sharded = isinstance(poly, ShardedStack)
@@ -564,7 +574,11 @@ class ShardedSumcheckProver:
         if bind_sum:
             transcript.append(field.to_bytes_be(sum))
 
-        use_pallas = on_tpu()
+        # gate the pallas/capacity tier on the MESH's devices, not the
+        # default backend: a CPU-simulated mesh under a TPU-default
+        # process (the axon tunnel registers itself even when the mesh
+        # is virtual) must take the jnp tier — pallas has no CPU lowering
+        use_pallas = mesh.devices.flat[0].platform == "tpu"
         if device_transcript is None:
             device_transcript = use_pallas and field.p > (1 << 32)
         device_transcript = device_transcript and field.p > (1 << 32)
@@ -599,6 +613,8 @@ class ShardedSumcheckProver:
         # threshold is the structural minimum so tests cover the
         # collective path at small sizes
         chain_tail = max(128, 2 * d_mesh) if use_pallas else 2 * d_mesh
+        if tail_size is not None:
+            chain_tail = max(chain_tail, tail_size)
 
         if n <= chain_tail and not pre_sharded:
             host = HostTables(
